@@ -1,0 +1,111 @@
+"""Block (multi-vector) operations.
+
+A *multivector* is a ``jnp`` array of shape ``(n, m)`` whose columns are the
+vectors.  These functions are the TPU-native re-design of the reference's
+default multi-vector ops (``/root/reference/src/ops_multi_vec.c:97-411``) and
+the dense workhorse kernel ``DenseMatQtAP``
+(``/root/reference/app/app_lapack.c:24-227``): instead of a vtable of
+column-looped primitives, each op is a single fused XLA expression (one or two
+MXU matmuls) that jit/vmap/shard_map compose over.
+
+All functions are pure and shape-polymorphic; under ``shard_map`` the global
+inner products reduce with ``psum`` (see ``gcge_tpu.parallel.dist_ops``),
+mirroring local-GEMM + ``MPI_Allreduce``
+(``/root/reference/src/ops_multi_vec.c:202-230``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def block_inner(x: jax.Array, y: jax.Array, mode: str = "N") -> jax.Array:
+    """Block inner product of two multivectors.
+
+    mode 'N'/'S': the full Gram block ``x^T y`` of shape ``(mx, my)``
+    ('S' additionally symmetrizes, useful when ``x is y`` up to rounding).
+    mode 'D': only the columnwise diagonal ``sum(x*y, axis=0)`` of shape
+    ``(m,)`` — the reference's 'D' mode
+    (``/root/reference/src/ops_multi_vec.c:151-201``).
+    """
+    if mode == "D":
+        return jnp.einsum("nm,nm->m", x, y, preferred_element_type=x.dtype)
+    g = x.T @ y
+    if mode == "S":
+        g = 0.5 * (g + g.T)
+    return g
+
+
+def axpby(alpha, x: jax.Array | None, beta, y: jax.Array) -> jax.Array:
+    """``alpha*x + beta*y`` columnwise; ``x=None`` means pure scaling of y.
+
+    ``alpha``/``beta`` may be scalars or per-column vectors of shape ``(m,)``.
+    (Reference: ``MultiVecAxpby``, ``/root/reference/src/ops_multi_vec.c``.)
+    """
+    if x is None:
+        return beta * y
+    return alpha * x + beta * y
+
+
+def linear_comb(
+    x: jax.Array | None,
+    coef: jax.Array | None,
+    y: jax.Array,
+    beta=None,
+) -> jax.Array:
+    """``y_new = x @ coef + y * diag(beta)``.
+
+    The reference's ``MultiVecLinearComb``: ``x=None`` skips the matmul
+    (pure per-column scaling of ``y`` by ``beta``); ``beta=None`` means the
+    ``y`` term is dropped (pure combination).
+    """
+    acc = None
+    if x is not None and coef is not None:
+        acc = x @ coef
+    if beta is not None:
+        yb = y * beta  # beta scalar or (m,) broadcast over columns
+        acc = yb if acc is None else acc + yb
+    if acc is None:
+        raise ValueError("linear_comb: nothing to compute (x/coef and beta both None)")
+    return acc
+
+
+def qtap(
+    q: jax.Array,
+    a_matvec,
+    p: jax.Array,
+    mode: str = "N",
+) -> jax.Array:
+    """Fused ``Q^T A P``.
+
+    ``a_matvec`` is a callable multivector product ``X -> A @ X`` (or ``None``
+    for ``A = I``).  Modes as in :func:`block_inner`.  This is the TPU analogue
+    of ``MultiVecQtAP`` / ``DenseMatQtAP``
+    (``/root/reference/src/ops_multi_vec.c:351-411``,
+    ``/root/reference/app/app_lapack.c:24-227``): one operator application plus
+    one MXU GEMM, fusable by XLA.
+    """
+    ap = p if a_matvec is None else a_matvec(p)
+    return block_inner(q, ap, mode)
+
+
+def set_random(key: jax.Array, shape, dtype=jnp.float64) -> jax.Array:
+    """Random multivector in (-1, 1), the analogue of MultiVecSetRandomValue."""
+    return jax.random.uniform(key, shape, dtype=dtype, minval=-1.0, maxval=1.0)
+
+
+def column_mask(m: int, count, dtype=jnp.float64) -> jax.Array:
+    """``(m,)`` mask with ones in the first ``count`` entries.
+
+    The building block for all static-shape bookkeeping: where the reference
+    shrinks ``end_x`` (rank deflation, convergence), we keep the array width
+    fixed and mask columns ``>= count``.
+    """
+    return (jnp.arange(m) < count).astype(dtype)
+
+
+def range_mask(m: int, start, end, dtype=jnp.float64) -> jax.Array:
+    """``(m,)`` mask of the half-open column window ``[start, end)``."""
+    idx = jnp.arange(m)
+    return ((idx >= start) & (idx < end)).astype(dtype)

@@ -1,0 +1,244 @@
+"""Linear operators — the TPU re-design of the reference's backend layer.
+
+The reference dispatches matrix kinds through an ``OPS_`` vtable filled by one
+of seven backends (``/root/reference/app/``).  Here an operator is a pytree
+object with a single method ``matvec(X) -> A @ X`` acting on multivectors of
+shape ``(n, m)``; solvers are generic over it and everything jits.
+
+* :class:`DenseOperator`   — dense symmetric matrix (app_lapack analogue).
+* :class:`SparseOperator`  — ELL-packed sparse matrix (app_ccs analogue);
+  ``matvec`` is a gather-SpMM (XLA) with a Pallas f32 fast path in
+  ``gcge_tpu.ops.spmm_pallas``.
+* :class:`DiagOperator`    — diagonal (mass) matrix.
+* :class:`IdentityOperator`— B = I for standard problems.
+* :class:`ShiftedOperator` — ``A + sigma*B`` represented functionally, the
+  analogue of ``MatDotMultiVecShift``
+  (``/root/reference/src/ops_eig_sol_gcg.c:63-96``): no in-place
+  ``A <- A + sigma B`` mutation is ever needed under XLA.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class LinearOperator:
+    """Protocol: symmetric linear operator on multivectors ``(n, m)``."""
+
+    shape: tuple[int, int]
+
+    def matvec(self, x: jax.Array) -> jax.Array:  # pragma: no cover - protocol
+        raise NotImplementedError
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return self.matvec(x)
+
+
+@jax.tree_util.register_pytree_node_class
+class DenseOperator(LinearOperator):
+    """Dense symmetric operator; matvec is one MXU GEMM."""
+
+    def __init__(self, a: jax.Array):
+        self.a = a
+
+    @property
+    def shape(self):
+        return self.a.shape
+
+    @property
+    def dtype(self):
+        return self.a.dtype
+
+    def matvec(self, x):
+        return self.a @ x
+
+    def tree_flatten(self):
+        return (self.a,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+class DiagOperator(LinearOperator):
+    """Diagonal operator (e.g. lumped mass matrix)."""
+
+    def __init__(self, d: jax.Array):
+        self.d = d
+
+    @property
+    def shape(self):
+        return (self.d.shape[0], self.d.shape[0])
+
+    @property
+    def dtype(self):
+        return self.d.dtype
+
+    def matvec(self, x):
+        return self.d[:, None] * x
+
+    def tree_flatten(self):
+        return (self.d,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+class IdentityOperator(LinearOperator):
+    """B = I for standard eigenproblems ``A x = lambda x``."""
+
+    def __init__(self, n: int, dtype=jnp.float64):
+        self.n = int(n)
+        self._dtype = dtype
+
+    @property
+    def shape(self):
+        return (self.n, self.n)
+
+    @property
+    def dtype(self):
+        return self._dtype
+
+    def matvec(self, x):
+        return x
+
+    def tree_flatten(self):
+        return (), (self.n, self._dtype)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0], aux[1])
+
+
+@jax.tree_util.register_pytree_node_class
+class ShiftedOperator(LinearOperator):
+    """``(A + sigma * B) x`` without mutating A.
+
+    ``sigma`` is a traced scalar so auto-shift changes per GCG iteration
+    never recompile.  Reference: ``MatDotMultiVecShift``
+    (``/root/reference/src/ops_eig_sol_gcg.c:63-96``).
+    """
+
+    def __init__(self, a: LinearOperator, b: LinearOperator | None, sigma):
+        self.a = a
+        self.b = b
+        self.sigma = sigma
+
+    @property
+    def shape(self):
+        return self.a.shape
+
+    @property
+    def dtype(self):
+        return self.a.dtype
+
+    def matvec(self, x):
+        y = self.a.matvec(x)
+        bx = x if self.b is None else self.b.matvec(x)
+        return y + self.sigma * bx
+
+    def tree_flatten(self):
+        return (self.a, self.b, self.sigma), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def _ell_spmm(values: jax.Array, indices: jax.Array, x: jax.Array) -> jax.Array:
+    """ELL SpMM: ``y[i, :] = sum_k values[i, k] * x[indices[i, k], :]``.
+
+    Row-wise gather formulation; padded entries carry ``values == 0`` and
+    ``indices`` pointing at row 0 so they contribute nothing.  Unrolled over
+    the (static, small) ELL width so XLA fuses the gather + FMA chain; memory
+    traffic is ``kmax`` passes over ``x`` worst-case, typically cached in VMEM
+    tiles.  The f32 Pallas kernel (``gcge_tpu/ops/spmm_pallas.py``) replaces
+    this on the hot path.
+    """
+    kmax = values.shape[1]
+
+    def body(k, y):
+        xg = jnp.take(x, indices[:, k], axis=0)
+        return y + values[:, k][:, None] * xg
+
+    y0 = jnp.zeros((values.shape[0], x.shape[1]), dtype=x.dtype)
+    return jax.lax.fori_loop(0, kmax, body, y0, unroll=4)
+
+
+@jax.tree_util.register_pytree_node_class
+class SparseOperator(LinearOperator):
+    """Symmetric sparse operator in ELL (padded-row) layout.
+
+    The TPU replacement for the reference's CCS backend
+    (``/root/reference/app/app_ccs.c:50-139``): instead of a scalar CSC loop,
+    rows are padded to the max row length so the SpMM is a static-shape
+    gather + FMA pipeline (VPU) — no dynamic sparsity structure inside jit.
+    """
+
+    def __init__(self, values: jax.Array, indices: jax.Array, n_cols: int):
+        self.values = values      # (n_rows, kmax) nonzero values, zero-padded
+        self.indices = indices    # (n_rows, kmax) column indices, 0-padded
+        self.n_cols = int(n_cols)
+
+    @property
+    def shape(self):
+        return (self.values.shape[0], self.n_cols)
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    @property
+    def nnz(self):
+        return int(np.asarray(jnp.count_nonzero(self.values)))
+
+    def matvec(self, x):
+        return _ell_spmm(self.values, self.indices, x)
+
+    def tree_flatten(self):
+        return (self.values, self.indices), (self.n_cols,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0])
+
+    # -- constructors ------------------------------------------------------
+
+    @classmethod
+    def from_coo(cls, rows, cols, vals, shape, dtype=jnp.float64):
+        """Pack COO triplets to ELL on host (numpy), then device-put."""
+        rows = np.asarray(rows)
+        cols = np.asarray(cols)
+        vals = np.asarray(vals)
+        n_rows, n_cols = shape
+        order = np.lexsort((cols, rows))
+        rows, cols, vals = rows[order], cols[order], vals[order]
+        counts = np.bincount(rows, minlength=n_rows)
+        kmax = max(int(counts.max()), 1)
+        values = np.zeros((n_rows, kmax), dtype=np.dtype(jnp.dtype(dtype).name))
+        indices = np.zeros((n_rows, kmax), dtype=np.int32)
+        # position of each nnz within its row
+        row_start = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(counts, out=row_start[1:])
+        pos = np.arange(len(rows)) - row_start[rows]
+        values[rows, pos] = vals
+        indices[rows, pos] = cols
+        return cls(jnp.asarray(values), jnp.asarray(indices), n_cols)
+
+    @classmethod
+    def from_scipy(cls, mat, dtype=jnp.float64):
+        coo = mat.tocoo()
+        return cls.from_coo(coo.row, coo.col, coo.data, coo.shape, dtype=dtype)
+
+    def to_dense(self):
+        n, _ = self.shape
+        out = jnp.zeros((n, self.n_cols), dtype=self.dtype)
+        rows = jnp.repeat(jnp.arange(n), self.values.shape[1])
+        return out.at[rows, self.indices.reshape(-1)].add(self.values.reshape(-1))

@@ -1,0 +1,139 @@
+"""Block preconditioned conjugate gradient with per-column convergence masks.
+
+TPU re-design of ``BlockPCG`` (``/root/reference/src/ops_lin_sol.c:140-437``).
+The reference compacts converged columns out of an ``unconv[]`` index list and
+batches matvecs over contiguous runs; under XLA we keep every shape static and
+instead *freeze* converged columns with a mask: their ``alpha``/``beta`` become
+zero so ``x, r, p`` stop changing, while the matvec always runs on the full
+block (one large MXU/SpMM call per iteration — on TPU one big matvec beats
+many ragged ones).  The loop is a single ``lax.while_loop`` so the whole solve
+is one compiled region with an early exit when every column froze — the
+analogue of ``while (niter<max_iter && num_unconv>0)``.
+
+Collectives: the two per-iteration reductions (``pTw`` and ``rho2``,
+``ops_lin_sol.c:313-321,361-369`` — one ``MPI_Allreduce`` each) become ``psum``
+automatically when the caller's matvec/inner ops run under ``shard_map``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class BlockPCGParams:
+    """Mirror of the reference's BlockPCG knobs (``ops_lin_sol.h:29-44``)."""
+
+    max_iter: int = 50
+    rate: float = 1e-2          # stop when res <= rate * initial res (per col)
+    tol: float = 1e-12          # absolute/relative floor per column
+    tol_type: str = "abs"       # 'abs' | 'rel' | 'user'
+
+
+@dataclass
+class BlockPCGInfo:
+    niters: jax.Array           # scalar int32 — iterations executed
+    final_res: jax.Array        # (m,) final residual 2-norms
+    init_res: jax.Array         # (m,) initial residual 2-norms
+
+
+def _col_dots(x, y, psum_axis=None):
+    d = jnp.einsum("nm,nm->m", x, y, preferred_element_type=x.dtype)
+    if psum_axis is not None:
+        d = jax.lax.psum(d, psum_axis)
+    return d
+
+
+def block_pcg(
+    matvec,
+    b: jax.Array,
+    x0: jax.Array,
+    params: BlockPCGParams = BlockPCGParams(),
+    active0: jax.Array | None = None,
+    norm_b: jax.Array | None = None,
+    psum_axis: str | None = None,
+):
+    """Solve ``op @ x = b`` column-by-column with block CG.
+
+    Parameters
+    ----------
+    matvec: multivector product ``X -> op @ X`` (op symmetric positive
+        definite; pass a closure over :class:`~gcge_tpu.ops.ShiftedOperator`
+        for the GCG inner solve).
+    b, x0: ``(n, m)`` right-hand sides and initial guesses.
+    active0: optional ``(m,)`` boolean mask — columns False are never touched
+        (the GCG W-solve activates only the unconverged window).
+    norm_b: per-column norms for ``tol_type='user'``
+        (the reference's user-defined norm path, ``ops_lin_sol.c:186-192``).
+    psum_axis: mesh axis name when running inside ``shard_map`` — inner
+        products reduce with ``psum`` over it.
+
+    Returns ``(x, BlockPCGInfo)``.
+    """
+    m = b.shape[1]
+    dtype = b.dtype
+    if active0 is None:
+        active0 = jnp.ones((m,), dtype=bool)
+
+    if params.tol_type == "rel":
+        nb = jnp.sqrt(_col_dots(b, b, psum_axis))
+    elif params.tol_type == "user":
+        assert norm_b is not None, "tol_type='user' requires norm_b"
+        nb = jnp.abs(norm_b)
+    else:
+        nb = jnp.ones((m,), dtype=dtype)
+
+    r = b - matvec(x0)
+    r = jnp.where(active0[None, :], r, 0.0)
+    rho = _col_dots(r, r, psum_axis)
+    init_res = jnp.sqrt(rho)
+    active = active0 & (init_res > params.tol * nb)
+
+    rate = jnp.asarray(params.rate, dtype)
+    tol = jnp.asarray(params.tol, dtype)
+
+    def cond(state):
+        niter, x, r, p, rho_prev, rho_cur, active = state
+        return (niter < params.max_iter) & jnp.any(active)
+
+    def body(state):
+        niter, x, r, p, rho_prev, rho_cur, active = state
+        beta = jnp.where(
+            (niter > 0) & active & (rho_prev > 0), rho_cur / jnp.where(rho_prev > 0, rho_prev, 1.0), 0.0
+        )
+        p = jnp.where(active[None, :], r + beta[None, :] * p, 0.0)
+        w = matvec(p)
+        ptw = _col_dots(p, w, psum_axis)
+        alpha = jnp.where(active & (ptw > 0), rho_cur / jnp.where(ptw > 0, ptw, 1.0), 0.0)
+        x = x + alpha[None, :] * p
+        r = r - alpha[None, :] * w
+        rho_next = _col_dots(r, r, psum_axis)
+        res = jnp.sqrt(rho_next)
+        still = active & (res > rate * init_res) & (res > tol * nb)
+        return (niter + 1, x, r, p, rho_cur, rho_next, still)
+
+    state0 = (jnp.int32(0), x0, r, jnp.zeros_like(r), rho, rho, active)
+    niter, x, r, p, rho_prev, rho_cur, active = jax.lax.while_loop(cond, body, state0)
+    return x, BlockPCGInfo(niters=niter, final_res=jnp.sqrt(rho_cur), init_res=init_res)
+
+
+def pcg(matvec, b: jax.Array, x0: jax.Array, max_iter=50, rate=1e-2, tol=1e-12,
+        psum_axis: str | None = None):
+    """Single-vector CG (reference ``PCG``, ``ops_lin_sol.c:62-113``).
+
+    Thin wrapper over :func:`block_pcg` on a one-column block; the stopping
+    rule matches the reference: relative *decrease* ``rate`` plus absolute
+    floor ``tol``.
+    """
+    x, info = block_pcg(
+        matvec,
+        b[:, None],
+        x0[:, None],
+        BlockPCGParams(max_iter=max_iter, rate=rate, tol=tol, tol_type="abs"),
+        psum_axis=psum_axis,
+    )
+    return x[:, 0], info

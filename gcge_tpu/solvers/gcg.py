@@ -1,0 +1,578 @@
+"""GCG — block damping inverse-power eigensolver, TPU-native.
+
+Computes the ``nev`` smallest eigenpairs of ``A x = lambda B x`` (A, B
+symmetric, B SPD or None) with the GCG algorithm of the reference
+(``/root/reference/src/ops_eig_sol_gcg.c:1253-1558``): iterate on the subspace
+``V = [X | P | W]`` where X are the current Ritz vectors, P previous search
+directions and W inexact inverse-power corrections from a block-CG solve of
+``(A + sigma B) W = (lambda + sigma) B X``.
+
+TPU-first re-design (not a translation):
+
+* **Static shapes.**  The reference's drifting ``sizeC/N/P/W`` bookkeeping and
+  ``offset[]`` interval lists become a fixed-width basis
+  ``V : (n, size_x + 2*bs)`` whose P/W occupancy is tracked by traced counts;
+  invalid columns are exact zeros.  One XLA compilation serves every
+  iteration.
+* **Full-basis Rayleigh-Ritz.**  The reference projects onto the *active*
+  subspace (excluding converged columns) to shrink ``dsyevx``; we keep the
+  full ``m x m`` projected matrix (m = size_x + 2*bs) and pad invalid slots
+  with a Gershgorin-large diagonal so their Ritz values sort last — ``eigh``
+  stays one static shape.  Converged pairs simply re-emerge unchanged.
+* **Cheap P/PP recurrence.**  Like the reference (``:936-948,1020-1032``),
+  the X-block of the projected matrix is ``diag(lambda)``, the X-P coupling is
+  exactly zero (P is orthogonalized against X in subspace coordinates), and
+  ``P^T A P = cP^T H_prev cP`` reuses the previous projected matrix — the only
+  large A-application in RR is ``A @ W`` (``:970-987``).
+* **Masked inner solve.**  ``ComputeW``'s shifted solve runs
+  :func:`~gcge_tpu.solvers.bpcg.block_pcg` on the gathered unconverged window
+  with frozen-column masks; the shifted operator is functional
+  (``MatDotMultiVecShift``, ``:63-96``) — A is never mutated.
+* **Host control, device math.**  Convergence classification, the gapMin
+  multiplicity backoff (``:253-259``) and the active-window selection
+  (``:262-301``) run on a few host scalars per iteration, exactly the data the
+  reference prints; all O(n) math stays on device.
+
+Distribution: run the same functions under ``shard_map`` with row-sharded
+operators/multivectors (see ``gcge_tpu.parallel``) — inner products psum over
+the mesh, the projected problem is replicated, matching the reference's MPI
+design (§2 of SURVEY.md).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gcge_tpu.ops.multivec import block_inner
+from gcge_tpu.solvers.bpcg import BlockPCGParams, block_pcg
+from gcge_tpu.solvers.orth import orth_against, orth_block, orth_block_against
+
+
+# --------------------------------------------------------------------------
+# parameters / results
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class GCGParams:
+    """GCG knobs; names/defaults follow the reference's ``GCGSolver``
+    (``/root/reference/src/ops_eig_sol_gcg.c:1569-1598``) and the test-driver
+    conventions (``/root/reference/test/test_eig_sol_gcg.c:33-49``)."""
+
+    nev: int = 30                     # wanted eigenpairs (nevConv)
+    block_size: int = 0               # 0 -> auto (nev//5, at least 1)
+    nev_max: int = 0                  # 0 -> auto (2*nev capped below)
+    nev_init: int = 0                 # 0 -> nev_max (single static shape)
+    max_iter: int = 500               # numIterMax
+    gap_min: float = 0.01             # multiplicity-cluster backoff
+    tol_abs: float = 1e-1             # tol[0]
+    tol_rel: float = 1e-8             # tol[1]
+    # W inner solve (compW_*)
+    cg_max_iter: int = 30
+    cg_rate: float = 1e-2
+    cg_tol: float = 1e-14
+    cg_tol_type: str = "abs"
+    cg_auto_shift: bool = False
+    cg_shift: float = 0.0
+    # orthogonalization
+    orth_zero_tol: float = 1e-13
+    orth_passes: int = 2
+    # misc
+    verbose: int = 1
+    dtype: Any = jnp.float64
+
+    def resolved(self, n: int) -> "GCGParams":
+        """Fill auto defaults following the reference test driver
+        (``test_eig_sol_gcg.c:33-49``): bs = nev/5, nevMax = 2*nev,
+        nevInit = nevMax."""
+        nev = self.nev
+        bs = self.block_size or max(nev // 5, 1)
+        nev_max = self.nev_max or 2 * nev
+        nev_max = max(nev_max, nev + bs)
+        nev_init = self.nev_init or nev_max
+        nev_init = max(min(nev_init, nev_max), min(3 * bs, nev_max))
+        assert nev_max + 2 * bs <= n, (
+            f"subspace {nev_max}+2*{bs} exceeds problem size {n}"
+        )
+        return GCGParams(
+            **{
+                **self.__dict__,
+                "nev": nev,
+                "block_size": bs,
+                "nev_max": nev_max,
+                "nev_init": nev_init,
+            }
+        )
+
+
+@dataclass
+class GCGResult:
+    eval: np.ndarray            # (nev_conv_capped,) converged eigenvalues
+    evec: jax.Array             # (n, nev) Ritz vectors
+    nev_conv: int
+    num_iter: int
+    res_norms: np.ndarray       # last residual window (diagnostic)
+    timers: dict
+    history: list = field(default_factory=list)
+
+
+# --------------------------------------------------------------------------
+# jitted phases (module-level; static over (size_x, bs) only)
+# --------------------------------------------------------------------------
+
+
+def _matvec(op, x):
+    return x if op is None else op.matvec(x)
+
+
+@partial(jax.jit, static_argnames=("size_x", "bs"))
+def _initial_rr(a_op, v, size_x: int, bs: int):
+    """First Rayleigh-Ritz on V = [X]: H = X^T A X, eigh, Ritz vectors.
+
+    Reference: first ``ComputeRayleighRitz`` call with sizeX == sizeV
+    (``ops_eig_sol_gcg.c:992-1011``)."""
+    m = size_x + 2 * bs
+    x = v[:, :size_x]
+    h_xx = block_inner(x, a_op.matvec(x), "S")
+    w, c = jnp.linalg.eigh(h_xx)
+    ss_eval = jnp.concatenate([w, jnp.full((m - size_x,), w[-1], w.dtype)])
+    ss_evec = jnp.eye(m, dtype=v.dtype).at[:size_x, :size_x].set(c)
+    h = jnp.zeros((m, m), v.dtype).at[:size_x, :size_x].set(h_xx)
+    ritz = x @ c
+    v = v.at[:, :size_x].set(ritz)
+    return ss_eval, ss_evec, h, ritz, v
+
+
+@partial(jax.jit, static_argnames=("size_x", "bs"))
+def _residual_norms(a_op, b_op, ritz, ss_eval, c0, size_x: int, bs: int):
+    """Residual 2-norms of the Ritz window ``[c0, c0+bs)``.
+
+    Reference ``CheckConvergence`` (``ops_eig_sol_gcg.c:195-315``) — the
+    classification itself happens on host from these numbers."""
+    n = ritz.shape[0]
+    c0 = c0.astype(jnp.int32)
+    cols = jax.lax.dynamic_slice(ritz, (jnp.int32(0), c0), (n, bs))
+    lam = jax.lax.dynamic_slice(ss_eval, (c0,), (bs,))
+    r = a_op.matvec(cols) - lam[None, :] * _matvec(b_op, cols)
+    return jnp.sqrt(jnp.einsum("nm,nm->m", r, r))
+
+
+@partial(jax.jit, static_argnames=("size_x", "bs", "zero_tol", "passes"))
+def _compute_p(v, ss_evec, h, act_idx, act_cnt, size_x: int, bs: int,
+               zero_tol: float, passes: int):
+    """Form the P (previous search direction) block.
+
+    Reference ``ComputeP`` (``ops_eig_sol_gcg.c:316-457``): take the subspace
+    eigenvector columns of the active window, zero their X-components,
+    orthonormalize the small coefficient block against the X coefficients and
+    within itself (rank-revealing), then expand ``P = V @ cP``.  Also returns
+    ``P^T A P`` via the ``cP^T H cP`` recurrence (``:936-948``)."""
+    colmask = (jnp.arange(bs) < act_cnt).astype(v.dtype)
+    c_p = jnp.take(ss_evec, act_idx, axis=1) * colmask[None, :]
+    c_p = c_p.at[act_idx, :].set(0.0)
+    c_x = ss_evec[:, :size_x]
+    c_p = orth_against(c_p, c_x, None, passes=passes)
+    c_p, p_cnt = orth_block(c_p, None, zero_tol=zero_tol, passes=passes)
+    p = v @ c_p
+    h_pp = c_p.T @ (h @ c_p)
+    v = v.at[:, size_x:size_x + bs].set(p)
+    return v, c_p, p_cnt, h_pp
+
+
+@partial(
+    jax.jit,
+    static_argnames=("size_x", "bs", "cg", "zero_tol", "passes"),
+)
+def _compute_w(a_op, b_op, v, ritz, ss_eval, act_idx, act_cnt, sigma,
+               size_x: int, bs: int, cg: BlockPCGParams, zero_tol: float,
+               passes: int):
+    """Inverse-power correction block W.
+
+    Reference ``ComputeW`` (``ops_eig_sol_gcg.c:472-695``): for the active
+    window solve ``(A + sigma B) w = (lambda + sigma) B x`` by block CG with
+    initial guess x, then B-orthonormalize W against [X | P] and within itself
+    (rank-revealing).  The shifted operator is functional — A never mutated."""
+    colmask = jnp.arange(bs) < act_cnt
+    fmask = colmask.astype(v.dtype)
+    xact = jnp.take(ritz, act_idx, axis=1) * fmask[None, :]
+    lam = jnp.take(ss_eval, act_idx) + sigma
+    bx = _matvec(b_op, xact)
+    rhs = lam[None, :] * bx
+
+    def shifted(y):
+        ay = a_op.matvec(y)
+        return ay + sigma * _matvec(b_op, y)
+
+    w, info = block_pcg(shifted, rhs, xact, cg, active0=colmask)
+    w = w * fmask[None, :]
+    q = v[:, : size_x + bs]
+    bmv = None if b_op is None else b_op.matvec
+    w, w_cnt = orth_block_against(w, q, bmv, zero_tol=zero_tol, passes=passes)
+    v = v.at[:, size_x + bs:].set(w)
+    return v, w_cnt, info.niters, info.final_res
+
+
+@partial(jax.jit, static_argnames=("size_x", "bs"))
+def _rayleigh_ritz(a_op, v, h_pp, ss_eval, p_cnt, w_cnt, size_x: int, bs: int):
+    """Assemble the projected matrix and solve the small eigenproblem.
+
+    Reference ``ComputeRayleighRitz`` (``ops_eig_sol_gcg.c:925-1252``):
+    X-block = diag(lambda), X-P block = 0, P-block from the recurrence, the
+    W-coupling ``V^T A W`` is the only large A-apply; invalid slots are padded
+    with a Gershgorin-large diagonal instead of shrinking the matrix.  The
+    ``dsyevx`` spectrum-slicing MPI path (``:1084-1189``) is unnecessary: the
+    replicated ``eigh`` runs identically on every device."""
+    m = size_x + 2 * bs
+    wblk = v[:, size_x + bs:]
+    aw = a_op.matvec(wblk)
+    h_vw = v.T @ aw                                     # (m, bs)
+    wmask = (jnp.arange(bs) < w_cnt).astype(v.dtype)
+    h_vw = h_vw * wmask[None, :]
+
+    h = jnp.zeros((m, m), v.dtype)
+    h = h.at[jnp.arange(size_x), jnp.arange(size_x)].set(ss_eval[:size_x])
+    h = h.at[size_x:size_x + bs, size_x:size_x + bs].set(h_pp)
+    h = h.at[:, size_x + bs:].set(h_vw)
+    h = h.at[size_x + bs:, :size_x + bs].set(h_vw[: size_x + bs].T)
+    h_ww = h_vw[size_x + bs:]
+    h = h.at[size_x + bs:, size_x + bs:].set(0.5 * (h_ww + h_ww.T))
+
+    valid = jnp.concatenate(
+        [
+            jnp.ones((size_x,), bool),
+            jnp.arange(bs) < p_cnt,
+            jnp.arange(bs) < w_cnt,
+        ]
+    )
+    fvalid = valid.astype(v.dtype)
+    h = h * fvalid[None, :] * fvalid[:, None]
+    gersh = jnp.max(jnp.sum(jnp.abs(h), axis=1)) + 1.0
+    h_eig = h + jnp.diag((1.0 - fvalid) * gersh)
+    w, c = jnp.linalg.eigh(h_eig)
+    act_tot = size_x + p_cnt + w_cnt
+    lam_pad = jnp.take(w, act_tot - 1)
+    ss_eval_new = jnp.where(jnp.arange(m) < act_tot, w, lam_pad)
+    ritz = v @ c[:, :size_x]
+    return ss_eval_new, c, h, ritz
+
+
+@partial(jax.jit, static_argnames=("size_x",))
+def _set_x(v, ritz, size_x: int):
+    """ComputeX: copy the Ritz vectors into the X slots of V
+    (``ops_eig_sol_gcg.c:458-471``)."""
+    return v.at[:, :size_x].set(ritz)
+
+
+@partial(jax.jit, static_argnames=("extra",))
+def _expand_ritz(v, ss_evec, ritz, size_x_old, extra: int):
+    """Restart growth: append P/W Ritz combinations as new X columns
+    (``ops_eig_sol_gcg.c:1400-1428``)."""
+    new_cols = v @ jax.lax.dynamic_slice(
+        ss_evec, (jnp.int32(0), size_x_old.astype(jnp.int32)),
+        (ss_evec.shape[0], extra),
+    )
+    return jnp.concatenate([ritz, new_cols], axis=1)
+
+
+# --------------------------------------------------------------------------
+# host-side convergence / window logic
+# --------------------------------------------------------------------------
+
+
+def _classify(res, lam, tol_abs, tol_rel):
+    """Per-column unconverged flags (reference criterion,
+    ``ops_eig_sol_gcg.c:229-251``)."""
+    big = np.abs(lam) > tol_rel
+    return np.where(
+        big,
+        (res > tol_abs) | (res > np.abs(lam) * tol_rel),
+        res > tol_abs,
+    )
+
+
+def _check_convergence_host(
+    res, ss_eval_h, c0_eff, scan_from, nev_conv_prev, size_x, bs,
+    tol_abs, tol_rel, gap_min,
+):
+    """nevConv + active-window selection on host scalars.
+
+    Mirrors ``CheckConvergence`` exactly: first unconverged index, gapMin
+    multiplicity backoff (never split a cluster), then collect up to ``bs``
+    unconverged indices, extending past the checked window if fewer were found
+    (``ops_eig_sol_gcg.c:253-301``)."""
+    lam_win = ss_eval_h[c0_eff:c0_eff + bs]
+    unconv = _classify(res, lam_win, tol_abs, tol_rel)
+
+    idx = bs
+    for i in range(scan_from, bs):
+        if unconv[i]:
+            idx = i
+            break
+    # multiplicity-cluster backoff
+    while idx > 0:
+        lam_prev = ss_eval_h[c0_eff + idx - 1]
+        lam_cur = ss_eval_h[c0_eff + idx]
+        denom = abs(lam_prev) if lam_prev != 0 else 1.0
+        if abs((lam_prev - lam_cur) / denom) > gap_min:
+            break
+        idx -= 1
+    nev_conv = max(nev_conv_prev, c0_eff + idx)
+
+    act = [c0_eff + i for i in range(bs) if unconv[i]]
+    nxt = c0_eff + bs
+    while len(act) < bs and nxt < size_x:
+        act.append(nxt)
+        nxt += 1
+    if not act:
+        act = list(range(min(nev_conv, size_x - 1), min(nev_conv + bs, size_x)))
+    act = act[:bs]
+    act_cnt = len(act)
+    act_padded = act + [act[-1]] * (bs - act_cnt)
+    return nev_conv, np.asarray(act_padded, np.int32), act_cnt
+
+
+# --------------------------------------------------------------------------
+# driver
+# --------------------------------------------------------------------------
+
+
+def _init_x(a_op, b_op, x0, size_x, n, dtype, key, zero_tol, passes):
+    """InitializeX (``ops_eig_sol_gcg.c:101-158``): keep user vectors, fill
+    with random, B-orthonormalize; re-randomize dependent columns until the
+    block has full rank."""
+    if x0 is not None:
+        k0 = x0.shape[1]
+        pad = jax.random.uniform(key, (n, size_x - k0), dtype=dtype, minval=-1, maxval=1) \
+            if size_x > k0 else jnp.zeros((n, 0), dtype)
+        x = jnp.concatenate([x0.astype(dtype), pad], axis=1)
+    else:
+        x = jax.random.uniform(key, (n, size_x), dtype=dtype, minval=-1, maxval=1)
+    bmv = None if b_op is None else b_op.matvec
+    for trial in range(5):
+        x, rank = orth_block(x, bmv, zero_tol=zero_tol, passes=passes)
+        r = int(rank)
+        if r == size_x:
+            return x
+        key, sub = jax.random.split(key)
+        filler = jax.random.uniform(sub, (n, size_x - r), dtype=dtype, minval=-1, maxval=1)
+        x = x.at[:, r:].set(filler)
+    raise RuntimeError("InitializeX: could not build a full-rank B-orthonormal block")
+
+
+def gcg_solve(
+    a_op,
+    b_op=None,
+    params: GCGParams = GCGParams(),
+    x0: Optional[jax.Array] = None,
+    key: Optional[jax.Array] = None,
+) -> GCGResult:
+    """Solve ``A x = lambda B x`` for the ``params.nev`` smallest eigenpairs.
+
+    The user-facing analogue of ``TestEigenSolverGCG`` + ``GCG``
+    (``/root/reference/test/test_eig_sol_gcg.c:28-169``).
+    """
+    n = a_op.shape[0]
+    p = params.resolved(n)
+    bs, nev0 = p.block_size, p.nev
+    size_x = p.nev_init
+    dtype = p.dtype
+    key = key if key is not None else jax.random.PRNGKey(0)
+    cg = BlockPCGParams(
+        max_iter=p.cg_max_iter, rate=p.cg_rate, tol=p.cg_tol, tol_type=p.cg_tol_type
+    )
+
+    timers = {k: 0.0 for k in
+              ("initX", "checkconv", "compP", "compX", "compW", "linsol",
+               "compRR", "compRV", "total")}
+
+    def timed(name, fn, *args, **kw):
+        t0 = time.perf_counter()
+        out = fn(*args, **kw)
+        jax.block_until_ready(out)
+        timers[name] += time.perf_counter() - t0
+        return out
+
+    # ---- InitializeX + first RR -----------------------------------------
+    t_start = time.perf_counter()
+    x = timed("initX", _init_x, a_op, b_op, x0, size_x, n, dtype, key,
+              p.orth_zero_tol, p.orth_passes)
+    m = size_x + 2 * bs
+    v = jnp.zeros((n, m), dtype).at[:, :size_x].set(x)
+    ss_eval, ss_evec, h, ritz, v = timed("compRR", _initial_rr, a_op, v, size_x, bs)
+
+    nev_target = nev0 if size_x >= p.nev_max else min(2 * bs, nev0)
+    nev_conv = 0
+    act_idx_prev: Optional[np.ndarray] = None
+    act_cnt_prev = 0
+    num_iter = 0
+    iter_budget = p.max_iter
+    history = []
+    res_h = np.zeros((bs,))
+    skip_p = True  # no P on the first iteration (sizeP = 0)
+    stall = 0
+
+    if p.verbose:
+        print(f"GCG: n={n} nev={nev0} bs={bs} sizeX={size_x} nevMax={p.nev_max}")
+        print("numIter\tnevConv")
+
+    while True:
+        # ---- CheckConvergence ------------------------------------------
+        if num_iter > 0:
+            c0 = nev_conv
+            c0_eff = min(c0, size_x - bs)
+            scan_from = c0 - c0_eff
+            res = timed("checkconv", _residual_norms, a_op, b_op, ritz, ss_eval,
+                        jnp.int32(c0_eff), size_x, bs)
+            res_h = np.asarray(res)
+            ss_eval_h = np.asarray(ss_eval)
+            nev_conv, act_idx, act_cnt = _check_convergence_host(
+                res_h, ss_eval_h, c0_eff, scan_from, nev_conv, size_x, bs,
+                p.tol_abs, p.tol_rel, p.gap_min,
+            )
+            if p.verbose:
+                first_unconv = nev_conv if nev_conv < size_x else size_x - 1
+                print(f"{num_iter}\t{nev_conv}\t"
+                      f"[{first_unconv}] {ss_eval_h[first_unconv]:.14e} "
+                      f"(res window max {res_h.max():.4e})")
+            history.append((num_iter, nev_conv))
+        else:
+            ss_eval_h = np.asarray(ss_eval)
+            c0 = nev_conv
+            act_idx = np.arange(c0, c0 + bs, dtype=np.int32)
+            act_idx = np.minimum(act_idx, size_x - 1)
+            act_cnt = bs
+
+        # ---- converged / restart-growth logic ---------------------------
+        if nev_conv >= nev_target:
+            if nev_conv >= nev0 or size_x >= p.nev_max:
+                break
+            # grow sizeX by the P+W widths (reference restart, :1400-1428)
+            extra = min(2 * bs, p.nev_max - size_x)
+            ritz = _expand_ritz(v, ss_evec, ritz, jnp.int32(size_x), extra)
+            size_x += extra
+            nev_target = min(nev_target + extra, nev0)
+            m = size_x + 2 * bs
+            v = jnp.zeros((n, m), dtype).at[:, :size_x].set(ritz)
+            ss_eval_h2 = np.asarray(ss_eval)
+            lam_new = np.concatenate(
+                [ss_eval_h2[:size_x], np.full((2 * bs,), ss_eval_h2[size_x - 1])]
+            )
+            ss_eval = jnp.asarray(lam_new, dtype)
+            ss_evec = jnp.eye(m, dtype=dtype)
+            h = jnp.diag(ss_eval[:m]).at[size_x:, size_x:].set(0.0)
+            iter_budget -= num_iter
+            num_iter = 0
+            skip_p = True
+            act_idx = np.arange(nev_conv, nev_conv + bs, dtype=np.int32)
+            act_idx = np.minimum(act_idx, size_x - 1)
+            act_cnt = bs
+            if p.verbose:
+                print(f"GCG restart: sizeX -> {size_x}, target -> {nev_target}")
+
+        if num_iter >= iter_budget:
+            break
+
+        # ---- ComputeP (uses previous iteration's active set) ------------
+        if skip_p or act_idx_prev is None:
+            p_cnt = jnp.int32(0)
+            h_pp = jnp.zeros((bs, bs), dtype)
+            v = v.at[:, size_x:size_x + bs].set(0.0)
+            skip_p = False
+        else:
+            v, c_p, p_cnt, h_pp = timed(
+                "compP", _compute_p, v, ss_evec, h,
+                jnp.asarray(act_idx_prev), jnp.int32(act_cnt_prev),
+                size_x, bs, p.orth_zero_tol, p.orth_passes,
+            )
+
+        # ---- ComputeX ----------------------------------------------------
+        v = timed("compX", _set_x, v, ritz, size_x)
+
+        # ---- ComputeW ----------------------------------------------------
+        sigma = p.cg_shift
+        if p.cg_auto_shift:
+            lam_c = ss_eval_h[min(nev_conv, size_x - 2)]
+            lam_c1 = ss_eval_h[min(nev_conv + 1, size_x - 1)]
+            sigma += -lam_c + 0.01 * (lam_c1 - lam_c)
+        t0 = time.perf_counter()
+        v, w_cnt, cg_iters, cg_res = _compute_w(
+            a_op, b_op, v, ritz, ss_eval,
+            jnp.asarray(act_idx), jnp.int32(act_cnt),
+            jnp.asarray(sigma, dtype), size_x, bs, cg,
+            p.orth_zero_tol, p.orth_passes,
+        )
+        jax.block_until_ready(v)
+        timers["compW"] += time.perf_counter() - t0
+        timers["linsol"] += time.perf_counter() - t0  # dominated by the solve
+
+        act_idx_prev, act_cnt_prev = act_idx, act_cnt
+
+        # ---- RayleighRitz + RitzVec ---------------------------------------
+        t0 = time.perf_counter()
+        ss_eval, ss_evec, h, ritz = _rayleigh_ritz(
+            a_op, v, h_pp, ss_eval, p_cnt, w_cnt, size_x, bs
+        )
+        jax.block_until_ready(ritz)
+        timers["compRR"] += time.perf_counter() - t0
+
+        if p.verbose >= 2:
+            print(f"  dbg: p_cnt={int(p_cnt)} w_cnt={int(w_cnt)} "
+                  f"cg_iters={int(cg_iters)} sigma={float(sigma):.3e} "
+                  f"cg_res_max={float(jnp.max(cg_res)):.3e} act={act_idx[:act_cnt]}")
+        if p.verbose >= 3:
+            vn = np.asarray(v)
+            pc, wc = int(p_cnt), int(w_cnt)
+            cols = (list(range(size_x)) + list(range(size_x, size_x + pc))
+                    + list(range(size_x + bs, size_x + bs + wc)))
+            vv = vn[:, cols].T @ vn[:, cols]
+            oerr = np.abs(vv - np.eye(len(cols))).max()
+            hn = np.asarray(h)[np.ix_(cols, cols)]
+            hv = vn[:, cols].T @ np.asarray(a_op.matvec(jnp.asarray(vn[:, cols])))
+            herr = np.abs(hn - hv).max()
+            print(f"  inv: ortho_err={oerr:.2e} H_err={herr:.2e}")
+
+        # stagnation guard: if both P and W deflated to nothing the subspace
+        # cannot change any more — stop instead of spinning (the attainable
+        # accuracy is limited by the inner-CG floor).
+        if int(p_cnt) == 0 and int(w_cnt) == 0:
+            stall += 1
+            if stall >= 2:
+                if p.verbose:
+                    print("GCG: subspace stagnated (P and W deflated); stopping")
+                num_iter += 1
+                break
+        else:
+            stall = 0
+
+        num_iter += 1
+
+    timers["total"] = time.perf_counter() - t_start
+    if p.verbose:
+        tt = max(timers["total"], 1e-12)
+        print("|--GCG----------------------------")
+        print("|checkconv  compP  compRR  compRV  compW(linsol)  compX  initX  total")
+        print("|" + "  ".join(
+            f"{timers[k]:.2f}" for k in
+            ("checkconv", "compP", "compRR", "compRV", "compW", "compX", "initX", "total")))
+        print("|" + "  ".join(
+            f"{100*timers[k]/tt:.1f}%" for k in
+            ("checkconv", "compP", "compRR", "compRV", "compW", "compX", "initX")))
+        print("|--GCG----------------------------")
+
+    nev_out = min(nev_conv if nev_conv > 0 else nev0, size_x)
+    return GCGResult(
+        eval=np.asarray(ss_eval)[:size_x],
+        evec=ritz,
+        nev_conv=int(nev_conv),
+        num_iter=int(num_iter + (p.max_iter - iter_budget)),
+        res_norms=res_h,
+        timers=timers,
+        history=history,
+    )

@@ -1,0 +1,145 @@
+"""Block B-orthonormalization with rank deflation — static shapes.
+
+The reference implements three drivers over vtable ops
+(``/root/reference/src/ops_orth.c``): column-wise modified Gram-Schmidt
+(``OrthSelf``/``ModifiedGramSchmidt``), a recursive binary split (``OrthBinary``)
+and an eigendecomposition variant (``OrthSelfEVP``: Gram matrix -> ``dsyev`` ->
+scale by ``1/sqrt(lambda)``, drop ``lambda ~ 0`` columns).
+
+On TPU the EVP family is the right default — it is all MXU GEMM plus one tiny
+``eigh`` — so :func:`orth_block` is the primary kernel.  Deflation semantics
+are preserved without shrinking arrays: the returned multivector has its
+``rank`` valid columns compacted at the front (descending Gram eigenvalue
+order) and zeros behind, with ``rank`` returned as a traced scalar.
+
+``orth_against`` is the "project out X0" loop of ``ModifiedGramSchmidt``
+(``ops_orth.c:235-268``); :func:`mgs_orth` is a literal column-wise MGS kept
+for cross-checking the EVP kernel in tests.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def orth_against(x, q, b_matvec=None, passes: int = 2):
+    """Remove the B-projection of ``x`` onto the B-orthonormal block ``q``.
+
+    ``x <- x - q (q^T B x)``, repeated ``passes`` times (classical two-pass
+    re-orthogonalization; the reference re-orths up to ``1+max_reorth`` times
+    with an early exit on the coefficient norm, ``ops_orth.c:235-268``).
+    Invalid (masked) columns of either block must be zero — zero columns
+    produce zero coefficients and are no-ops.
+    """
+    for _ in range(passes):
+        bx = x if b_matvec is None else b_matvec(x)
+        coef = q.T @ bx
+        x = x - q @ coef
+    return x
+
+
+def orth_block(
+    x,
+    b_matvec=None,
+    zero_tol: float = 1e-13,
+    passes: int = 2,
+    ref_scale2=None,
+):
+    """B-orthonormalize the columns of ``x`` with rank deflation.
+
+    Returns ``(x_orth, rank)``: the first ``rank`` columns form a B-orthonormal
+    basis of ``range(x)``; trailing columns are exactly zero.  ``rank`` is a
+    traced scalar (int32).
+
+    Method (reference ``OrthSelfEVP``, ``ops_orth.c:122-201``): per pass,
+    ``G = x^T B x`` (one fused GEMM), ``w, u = eigh(G)``; columns are
+    recombined as ``x u diag(1/sqrt(w))`` in *descending* eigenvalue order so
+    numerically dependent directions compact to the back as zeros.  Two passes
+    give CholQR2-level orthogonality.
+
+    Deflation threshold: a column is dependent when its projected *norm*
+    ``sqrt(w)`` falls below ``zero_tol`` relative to the entry scale
+    ``sqrt(ref_scale2)`` — i.e. ``w <= zero_tol^2 * ref_scale2`` — matching the
+    reference's norm-based criterion (``OrthSelf``, ``ops_orth.c:63-74``); an
+    absolute threshold on ``w`` itself would deflate the small-but-genuine
+    inverse-power corrections GCG relies on late in convergence.
+    ``ref_scale2`` defaults to the largest Gram eigenvalue of the first pass.
+    """
+    m = x.shape[1]
+    rank = jnp.int32(m)
+    for i in range(passes):
+        bx = x if b_matvec is None else b_matvec(x)
+        g = x.T @ bx
+        g = 0.5 * (g + g.T)
+        w, u = jnp.linalg.eigh(g)
+        w = w[::-1]
+        u = u[:, ::-1]
+        if ref_scale2 is None and i == 0:
+            ref_scale2 = jnp.maximum(w[0], jnp.asarray(1e-300, x.dtype))
+        thresh = (zero_tol * zero_tol) * ref_scale2 if i == 0 else \
+            jnp.asarray(zero_tol, x.dtype)
+        valid = w > thresh
+        scale = jnp.where(valid, jax.lax.rsqrt(jnp.where(valid, w, 1.0)), 0.0)
+        x = x @ (u * scale[None, :])
+        rank = jnp.minimum(rank, jnp.sum(valid).astype(jnp.int32))
+    return x, rank
+
+
+def orth_block_against(
+    x,
+    q,
+    b_matvec=None,
+    zero_tol: float = 1e-13,
+    passes: int = 2,
+):
+    """Full ``MultiVecOrth`` semantics: orth ``x`` against ``q`` then within.
+
+    The against/within alternation is interleaved ``passes`` times because an
+    internal recombination can re-grow components along ``q`` at roundoff
+    scale; this mirrors the reference's outer re-orth loop.  The deflation
+    scale is the entry-time column norm (before projection), so a direction
+    that is small *because most of x lies in span(q)* — exactly GCG's W late
+    in convergence — survives, while eps-level dependency is dropped.
+    """
+    bx = x if b_matvec is None else b_matvec(x)
+    d = jnp.einsum("nm,nm->m", x, bx)
+    ref_scale2 = jnp.maximum(jnp.max(d), jnp.asarray(1e-300, x.dtype))
+    rank = jnp.int32(x.shape[1])
+    for i in range(passes):
+        x = orth_against(x, q, b_matvec, passes=1)
+        x, r = orth_block(
+            x, b_matvec, zero_tol=zero_tol, passes=1,
+            ref_scale2=ref_scale2 if i == 0 else None,
+        )
+        rank = jnp.minimum(rank, r)
+    return x, rank
+
+
+def mgs_orth(x, b_matvec=None, zero_tol: float = 1e-14, reorth: int = 1):
+    """Column-wise modified Gram-Schmidt with deflation (test oracle).
+
+    A literal static-shape transcription of ``OrthSelf``
+    (``ops_orth.c:45-118``): dependent columns are zeroed in place (instead of
+    being swapped to the back) and the count of surviving columns is returned.
+    Quadratic in the column count — use :func:`orth_block` in production.
+    """
+    m = x.shape[1]
+    cols = []
+    rank = jnp.int32(0)
+    for k in range(m):
+        v = x[:, k]
+        for _ in range(1 + reorth):
+            for qcol in cols:
+                bv = v if b_matvec is None else b_matvec(v[:, None])[:, 0]
+                v = v - qcol * (qcol @ bv)
+        bv = v if b_matvec is None else b_matvec(v[:, None])[:, 0]
+        nrm2 = v @ bv
+        ok = nrm2 > zero_tol
+        inv = jnp.where(ok, jax.lax.rsqrt(jnp.where(ok, nrm2, 1.0)), 0.0)
+        v = v * inv
+        cols.append(v)
+        rank = rank + ok.astype(jnp.int32)
+    return jnp.stack(cols, axis=1), rank

@@ -1,0 +1,47 @@
+"""Test configuration: CPU backend with 8 virtual devices, f64 enabled.
+
+Mirrors the reference's approach of testing distributed behavior without a
+cluster — here an 8-device host-platform mesh stands in for a TPU slice.
+"""
+
+import os
+
+# The image forces JAX_PLATFORMS=axon (tunneled TPU with remote compile);
+# tests must run on the local CPU backend with 8 virtual devices, so hard
+# override — setdefault is not enough.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+def laplacian_1d(n: int, h: float | None = None):
+    """1D Laplacian (tridiag 2/h, -1/h) — the reference's CCS test operator
+    (``/root/reference/test/test_app_ccs.c:142-184``) with analytic spectrum
+    lam_k = (2/h) * (1 - cos(k*pi*h)), h = 1/(n+1)."""
+    h = h or 1.0 / (n + 1)
+    main = np.full(n, 2.0 / h)
+    off = np.full(n - 1, -1.0 / h)
+    a = np.diag(main) + np.diag(off, 1) + np.diag(off, -1)
+    return a, h
+
+
+def laplacian_1d_eigs(n: int, h: float | None = None):
+    h = h or 1.0 / (n + 1)
+    k = np.arange(1, n + 1)
+    return (2.0 / h) * (1.0 - np.cos(k * np.pi * h))

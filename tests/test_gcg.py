@@ -1,0 +1,134 @@
+"""End-to-end GCG eigensolver tests.
+
+The asserting re-make of ``TestEigenSolverGCG``
+(``/root/reference/test/test_eig_sol_gcg.c``) on the reference's model
+problems: 1D Laplacian with the analytic spectrum as oracle
+(``test_app_lapack.c:41-69`` / ``test_app_ccs.c:142-184``), standard and
+generalized (B = diag mass) variants, dense and sparse backends.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gcge_tpu.ops.operators import DenseOperator, DiagOperator, SparseOperator
+from gcge_tpu.solvers.gcg import GCGParams, gcg_solve
+from tests.conftest import laplacian_1d, laplacian_1d_eigs
+
+
+def _check_eigs(result, a, b, nev, tol_rel=1e-8, exact=None):
+    lam = result.eval[:nev]
+    x = np.asarray(result.evec)[:, :nev]
+    bmat = b if b is not None else np.eye(a.shape[0])
+    res = a @ x - (bmat @ x) * lam[None, :]
+    rel = np.linalg.norm(res, axis=0) / np.abs(lam)
+    assert result.nev_conv >= nev, f"only {result.nev_conv} converged"
+    assert (rel < tol_rel * 50).all(), f"residuals {rel}"
+    if exact is not None:
+        np.testing.assert_allclose(lam, exact[:nev], rtol=1e-7)
+
+
+def test_gcg_dense_laplacian_standard():
+    n, nev = 400, 10
+    a, _ = laplacian_1d(n)
+    exact = laplacian_1d_eigs(n)
+    params = GCGParams(nev=nev, max_iter=60, verbose=0, cg_max_iter=30)
+    result = gcg_solve(DenseOperator(jnp.asarray(a)), None, params)
+    _check_eigs(result, a, None, nev, exact=exact)
+
+
+def test_gcg_sparse_laplacian_standard():
+    n, nev = 500, 12
+    a, _ = laplacian_1d(n)
+    rows, cols = np.nonzero(a)
+    sp = SparseOperator.from_coo(rows, cols, a[rows, cols], a.shape)
+    exact = laplacian_1d_eigs(n)
+    params = GCGParams(nev=nev, max_iter=60, verbose=0, cg_max_iter=30)
+    result = gcg_solve(sp, None, params)
+    _check_eigs(result, a, None, nev, exact=exact)
+
+
+def test_gcg_generalized_diag_mass():
+    """A x = lambda B x with B = h*I (the reference CCS driver's mass,
+    ``test_app_ccs.c:142-184``): spectrum scales by 1/h."""
+    n, nev = 300, 8
+    a, h = laplacian_1d(n)
+    bdiag = np.full(n, h)
+    exact = laplacian_1d_eigs(n) / h
+    params = GCGParams(nev=nev, max_iter=60, verbose=0, cg_max_iter=40)
+    result = gcg_solve(
+        DenseOperator(jnp.asarray(a)), DiagOperator(jnp.asarray(bdiag)), params
+    )
+    _check_eigs(result, a, np.diag(bdiag), nev, exact=exact)
+
+
+def test_gcg_generalized_dense_mass(rng):
+    """Full SPD mass matrix."""
+    n, nev = 200, 6
+    a, _ = laplacian_1d(n)
+    import scipy.linalg
+
+    c = rng.standard_normal((n, n)) * 0.01
+    b = np.eye(n) + c @ c.T
+    exact = scipy.linalg.eigh(a, b, eigvals_only=True)
+    params = GCGParams(nev=nev, max_iter=80, verbose=0, cg_max_iter=40)
+    result = gcg_solve(
+        DenseOperator(jnp.asarray(a)), DenseOperator(jnp.asarray(b)), params
+    )
+    _check_eigs(result, a, b, nev, exact=exact)
+
+
+def test_gcg_auto_shift():
+    """compW_cg_auto_shift accelerates the inner solve; result unchanged."""
+    n, nev = 300, 8
+    a, _ = laplacian_1d(n)
+    exact = laplacian_1d_eigs(n)
+    params = GCGParams(nev=nev, block_size=3, max_iter=100, verbose=0,
+                       cg_auto_shift=True)
+    result = gcg_solve(DenseOperator(jnp.asarray(a)), None, params)
+    _check_eigs(result, a, None, nev, exact=exact)
+
+
+def test_gcg_warm_start():
+    """nevGiven > 0: exact eigenvectors as initial guess -> fast convergence
+    (reference ``InitializeX`` keeps and orthonormalizes given vectors)."""
+    n, nev = 200, 6
+    a, _ = laplacian_1d(n)
+    w, v = np.linalg.eigh(a)
+    x0 = jnp.asarray(v[:, :nev] + 1e-6 * np.random.default_rng(1).standard_normal((n, nev)))
+    params = GCGParams(nev=nev, block_size=3, max_iter=30, verbose=0)
+    result = gcg_solve(DenseOperator(jnp.asarray(a)), None, params, x0=x0)
+    _check_eigs(result, a, None, nev, exact=w)
+    # nevConv advances at most bs per check window (as in the reference),
+    # so a warm start still needs ~nev/bs checks plus a few refinements.
+    assert result.num_iter <= 12
+
+
+def test_gcg_restart_growth():
+    """nev_init < nev_max exercises the restart/size-growth path
+    (``ops_eig_sol_gcg.c:1400-1428``)."""
+    n, nev = 300, 10
+    a, _ = laplacian_1d(n)
+    exact = laplacian_1d_eigs(n)
+    params = GCGParams(
+        nev=nev, block_size=4, nev_max=20, nev_init=12, max_iter=100, verbose=0
+    )
+    result = gcg_solve(DenseOperator(jnp.asarray(a)), None, params)
+    _check_eigs(result, a, None, nev, exact=exact)
+
+
+def test_gcg_clustered_spectrum():
+    """Multiplicity handling (gapMin backoff): operator with repeated
+    eigenvalues must still converge with correct multiplicity.  As in the
+    reference (``assert multiMax <= block_size``,
+    ``ops_eig_sol_gcg.c:1280``), the block size must cover the largest
+    multiplicity — here 3."""
+    n, nev = 128, 8
+    rng = np.random.default_rng(7)
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    lam = np.concatenate([np.repeat([1.0, 2.0, 3.0], 3), np.arange(4.0, 4.0 + n - 9)])
+    a = (q * lam) @ q.T
+    a = 0.5 * (a + a.T)
+    params = GCGParams(nev=nev, block_size=4, max_iter=100, verbose=0, cg_max_iter=50)
+    result = gcg_solve(DenseOperator(jnp.asarray(a)), None, params)
+    _check_eigs(result, a, None, nev, exact=np.sort(lam))
