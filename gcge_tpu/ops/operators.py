@@ -242,3 +242,96 @@ class SparseOperator(LinearOperator):
         out = jnp.zeros((n, self.n_cols), dtype=self.dtype)
         rows = jnp.repeat(jnp.arange(n), self.values.shape[1])
         return out.at[rows, self.indices.reshape(-1)].add(self.values.reshape(-1))
+
+
+@jax.tree_util.register_pytree_node_class
+class DiaOperator(LinearOperator):
+    """Sparse operator in DIA (diagonal) layout — the gather-free fast path.
+
+    ``y[i] = sum_d values[d, i] * x[i + offsets[d]]`` with *static* diagonal
+    offsets: each term is a shift (pad + slice) and an FMA — no gathers at
+    all, so it vectorizes perfectly on the VPU and is implementable as a
+    Pallas kernel (Mosaic has no in-kernel gather).  This is the TPU-native
+    answer to stencil/banded matrices — FEM Laplacians on structured meshes,
+    and general matrices after RCM bandwidth reduction whose nonzeros
+    concentrate on few diagonals.  Replaces the scalar CSC loop of the
+    reference's CCS backend (``/root/reference/app/app_ccs.c:116-131``) for
+    this matrix class.
+    """
+
+    def __init__(self, values: jax.Array, offsets: tuple[int, ...], n_cols: int):
+        self.values = values          # (ndiag, n_rows); values[d, i] = A[i, i+off_d]
+        self.offsets = tuple(int(o) for o in offsets)
+        self.n_cols = int(n_cols)
+
+    @property
+    def shape(self):
+        return (self.values.shape[1], self.n_cols)
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    @property
+    def nnz(self):
+        return int(np.asarray(jnp.count_nonzero(self.values)))
+
+    def matvec(self, x):
+        n = self.values.shape[1]
+        m = x.shape[1]
+        y = jnp.zeros((n, m), x.dtype)
+        zero_row = jnp.zeros((1, m), x.dtype)
+        for d, off in enumerate(self.offsets):
+            if off == 0:
+                xs = x
+            elif off > 0:
+                pad = jnp.broadcast_to(zero_row, (min(off, n), m))
+                xs = jnp.concatenate([x[off:], pad], axis=0)[:n]
+            else:
+                pad = jnp.broadcast_to(zero_row, (min(-off, n), m))
+                xs = jnp.concatenate([pad, x[: n + off]], axis=0)[:n]
+            y = y + self.values[d][:, None] * xs
+        return y
+
+    def tree_flatten(self):
+        return (self.values,), (self.offsets, self.n_cols)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1])
+
+    @classmethod
+    def from_coo(cls, rows, cols, vals, shape, dtype=jnp.float64):
+        rows = np.asarray(rows)
+        cols = np.asarray(cols)
+        vals = np.asarray(vals)
+        n_rows, n_cols = shape
+        offs = cols - rows
+        uniq = np.unique(offs)
+        values = np.zeros((len(uniq), n_rows), dtype=np.dtype(jnp.dtype(dtype).name))
+        dmap = {o: i for i, o in enumerate(uniq)}
+        d_idx = np.searchsorted(uniq, offs)
+        values[d_idx, rows] = vals
+        return cls(jnp.asarray(values), tuple(uniq.tolist()), n_cols)
+
+    def to_dense(self):
+        n = self.values.shape[1]
+        out = jnp.zeros((n, self.n_cols), dtype=self.dtype)
+        rows = np.arange(n)
+        for d, off in enumerate(self.offsets):
+            cols = rows + off
+            ok = (cols >= 0) & (cols < self.n_cols)
+            out = out.at[rows[ok], cols[ok]].add(self.values[d, rows[ok]])
+        return out
+
+    @staticmethod
+    def n_diagonals(rows, cols) -> int:
+        return len(np.unique(np.asarray(cols) - np.asarray(rows)))
+
+
+def make_operator(rows, cols, vals, shape, dtype=jnp.float64, max_diags: int = 64):
+    """Pick the best sparse layout: DIA when the pattern concentrates on few
+    diagonals (stencils, RCM-banded), ELL otherwise."""
+    if DiaOperator.n_diagonals(rows, cols) <= max_diags:
+        return DiaOperator.from_coo(rows, cols, vals, shape, dtype=dtype)
+    return SparseOperator.from_coo(rows, cols, vals, shape, dtype=dtype)

@@ -1,0 +1,89 @@
+"""Device mesh utilities for row-partitioned eigensolving.
+
+The reference distributes A, B and all multivectors by *row blocks* over MPI
+ranks (SURVEY.md §2 "Parallelism strategies" #1; PETSc ``Mat``/``BV``,
+``app_slepc.c:49-60``).  The TPU-native equivalent is a 1-D
+``jax.sharding.Mesh`` with one axis, ``"rows"``; every (n, ...) array is
+sharded on its first dimension and every projected/small quantity is
+replicated.  XLA's SPMD partitioner then plays the role of the MPI layer:
+block inner products become local GEMM + all-reduce over ICI, exactly the
+local-product + ``MPI_Allreduce`` structure of
+``ops_multi_vec.c:202-230`` — but inserted by the compiler.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+ROWS = "rows"
+
+
+def row_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D mesh over the row axis."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (ROWS,))
+
+
+def row_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(ROWS))
+
+
+def shard_rows(mesh: Mesh, x: jax.Array) -> jax.Array:
+    """Shard the leading (row) dimension of an array over the mesh."""
+    spec = P(ROWS, *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def replicate(mesh: Mesh, x: jax.Array) -> jax.Array:
+    return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def pad_problem(a_op, b_op, n_devices: int, pad_value: float | None = None):
+    """Pad a problem so n divides the device count.
+
+    Padding must not disturb the *smallest* eigenpairs, so the padded rows get
+    a large decoupled diagonal (their eigenvalues sort to the top of the
+    spectrum) instead of zeros.  Returns ``(a_padded, b_padded, n_orig)``.
+    Works on :class:`~gcge_tpu.ops.operators.SparseOperator` and
+    ``DiagOperator``/``None``.
+    """
+    from gcge_tpu.ops.operators import DiagOperator, SparseOperator
+
+    n = a_op.shape[0]
+    n_pad = (-n) % n_devices
+    if n_pad == 0:
+        return a_op, b_op, n
+    if pad_value is None:
+        pad_value = float(jnp.max(jnp.abs(a_op.values)) * n) if isinstance(
+            a_op, SparseOperator
+        ) else 1e12
+
+    if isinstance(a_op, SparseOperator):
+        kmax = a_op.values.shape[1]
+        pad_vals = jnp.zeros((n_pad, kmax), a_op.values.dtype)
+        pad_vals = pad_vals.at[:, 0].set(pad_value)
+        pad_idx = jnp.zeros((n_pad, kmax), a_op.indices.dtype)
+        pad_idx = pad_idx.at[:, 0].set(n + jnp.arange(n_pad, dtype=a_op.indices.dtype))
+        a_pad = SparseOperator(
+            jnp.concatenate([a_op.values, pad_vals]),
+            jnp.concatenate([a_op.indices, pad_idx]),
+            n + n_pad,
+        )
+    else:
+        raise NotImplementedError("pad_problem currently supports SparseOperator A")
+
+    if b_op is None:
+        b_pad = None
+    elif isinstance(b_op, DiagOperator):
+        b_pad = DiagOperator(
+            jnp.concatenate([b_op.d, jnp.ones((n_pad,), b_op.d.dtype)])
+        )
+    else:
+        raise NotImplementedError("pad_problem supports DiagOperator/None B")
+    return a_pad, b_pad, n

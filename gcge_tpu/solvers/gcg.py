@@ -178,8 +178,13 @@ def _compute_p(v, ss_evec, h, act_idx, act_cnt, size_x: int, bs: int,
     c_p = jnp.take(ss_evec, act_idx, axis=1) * colmask[None, :]
     c_p = c_p.at[act_idx, :].set(0.0)
     c_x = ss_evec[:, :size_x]
-    c_p = orth_against(c_p, c_x, None, passes=passes)
-    c_p, p_cnt = orth_block(c_p, None, zero_tol=zero_tol, passes=passes)
+    # ref_scale2=1: the coefficient columns come from orthonormal ss_evec
+    # columns (norm <= 1), so deflation must be measured against unit scale —
+    # a converged column's leftover is pure noise and must drop, not be
+    # normalized into a garbage direction (which would destroy the basis
+    # orthonormality the whole Rayleigh-Ritz recurrence relies on).
+    c_p, p_cnt = orth_block_against(c_p, c_x, None, zero_tol=zero_tol,
+                                    passes=passes, ref_scale2=1.0)
     p = v @ c_p
     h_pp = c_p.T @ (h @ c_p)
     v = v.at[:, size_x:size_x + bs].set(p)
@@ -372,11 +377,18 @@ def gcg_solve(
     params: GCGParams = GCGParams(),
     x0: Optional[jax.Array] = None,
     key: Optional[jax.Array] = None,
+    mesh=None,
 ) -> GCGResult:
     """Solve ``A x = lambda B x`` for the ``params.nev`` smallest eigenpairs.
 
     The user-facing analogue of ``TestEigenSolverGCG`` + ``GCG``
     (``/root/reference/test/test_eig_sol_gcg.c:28-169``).
+
+    ``mesh``: optional 1-D ``jax.sharding.Mesh`` (axis "rows").  Pass operators
+    wrapped by :func:`gcge_tpu.parallel.shard_operator`; the basis/workspace
+    multivectors are then row-sharded and every phase runs SPMD — inner
+    products all-reduce over the mesh, the projected eigenproblem is
+    replicated, matching the reference's MPI layout (SURVEY.md §2).
     """
     n = a_op.shape[0]
     p = params.resolved(n)
@@ -399,12 +411,19 @@ def gcg_solve(
         timers[name] += time.perf_counter() - t0
         return out
 
+    def _shard(arr):
+        if mesh is None:
+            return arr
+        from gcge_tpu.parallel.mesh import shard_rows
+        return shard_rows(mesh, arr)
+
     # ---- InitializeX + first RR -----------------------------------------
     t_start = time.perf_counter()
+    x0 = _shard(x0) if x0 is not None else None
     x = timed("initX", _init_x, a_op, b_op, x0, size_x, n, dtype, key,
               p.orth_zero_tol, p.orth_passes)
     m = size_x + 2 * bs
-    v = jnp.zeros((n, m), dtype).at[:, :size_x].set(x)
+    v = _shard(jnp.zeros((n, m), dtype)).at[:, :size_x].set(_shard(x))
     ss_eval, ss_evec, h, ritz, v = timed("compRR", _initial_rr, a_op, v, size_x, bs)
 
     nev_target = nev0 if size_x >= p.nev_max else min(2 * bs, nev0)
@@ -459,7 +478,7 @@ def gcg_solve(
             size_x += extra
             nev_target = min(nev_target + extra, nev0)
             m = size_x + 2 * bs
-            v = jnp.zeros((n, m), dtype).at[:, :size_x].set(ritz)
+            v = _shard(jnp.zeros((n, m), dtype)).at[:, :size_x].set(ritz)
             ss_eval_h2 = np.asarray(ss_eval)
             lam_new = np.concatenate(
                 [ss_eval_h2[:size_x], np.full((2 * bs,), ss_eval_h2[size_x - 1])]

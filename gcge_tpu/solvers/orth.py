@@ -94,6 +94,7 @@ def orth_block_against(
     b_matvec=None,
     zero_tol: float = 1e-13,
     passes: int = 2,
+    ref_scale2=None,
 ):
     """Full ``MultiVecOrth`` semantics: orth ``x`` against ``q`` then within.
 
@@ -104,9 +105,10 @@ def orth_block_against(
     that is small *because most of x lies in span(q)* — exactly GCG's W late
     in convergence — survives, while eps-level dependency is dropped.
     """
-    bx = x if b_matvec is None else b_matvec(x)
-    d = jnp.einsum("nm,nm->m", x, bx)
-    ref_scale2 = jnp.maximum(jnp.max(d), jnp.asarray(1e-300, x.dtype))
+    if ref_scale2 is None:
+        bx = x if b_matvec is None else b_matvec(x)
+        d = jnp.einsum("nm,nm->m", x, bx)
+        ref_scale2 = jnp.maximum(jnp.max(d), jnp.asarray(1e-300, x.dtype))
     rank = jnp.int32(x.shape[1])
     for i in range(passes):
         x = orth_against(x, q, b_matvec, passes=1)

@@ -1,0 +1,183 @@
+"""PAS — Parallel Augmented Subspace multilevel eigensolver.
+
+Reference: ``/root/reference/src/ops_eig_sol_pas.c`` (#9) and the composite
+PASMAT/PASVEC backend ``/root/reference/app/app_pas.c`` (#10).  The method:
+solve the eigenproblem once on the coarsest grid with GCG, then walk down the
+hierarchy; on each finer level improve the eigenpairs with inverse-power
+corrections solved by block AMG and a Rayleigh-Ritz step over the *augmented*
+subspace that couples a small dense block with the fine-grid vectors.
+
+TPU-native re-design:
+
+* The composite object ``PASMAT = [XX XQ; QX QQ]`` acting on
+  ``PASVEC = (dense u, grid q)`` (``app_pas.h:18-31``) becomes
+  :class:`AugmentedOperator`: the pair is *stacked* into one ``(k + n, m)``
+  array, so every existing kernel (orth, BPCG, GCG itself) works on the
+  composite space unchanged — no second OPS layer, no split communicators.
+  The reference's nonblocking-Allreduce-over-GEMM overlap
+  (``app_pas.c:152-178``) is XLA's job: the dense block GEMM and the grid
+  reduction live in one fused SPMD program.
+* The per-level correction (``ComputeN``, ``ops_eig_sol_pas.c:345-390``)
+  solves ``A_l N = B_l X diag(lambda)`` with :func:`bamg_solve`.
+* The per-level Rayleigh-Ritz (``ComputeRayleighRitz`` on the composite
+  operator, ``:50-249``) is performed over the explicit span ``[X | N]``
+  with one B-orthonormalization and a replicated ``eigh`` — algebraically the
+  same subspace the PASMAT-GCG iterates in, without re-entering GCG.
+* Convergence is checked on the finest level only, as in the reference
+  (``PAS``, ``:614-690``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gcge_tpu.ops.operators import LinearOperator
+from gcge_tpu.solvers.gcg import GCGParams, gcg_solve
+from gcge_tpu.solvers.multigrid import MGHierarchy, bamg_solve
+from gcge_tpu.solvers.orth import orth_block
+
+
+@jax.tree_util.register_pytree_node_class
+class AugmentedOperator(LinearOperator):
+    """Galerkin operator on ``span(Xp) (+) V_fine`` over stacked vectors.
+
+    For ``s = [u; q]`` (u dense coefficients of the promoted aux basis Xp,
+    q a fine-grid vector), represents the fine vector ``t = Xp u + q`` and
+    applies ``[Xp^T A t; A t]`` — exactly the action of the reference's
+    ``PASMAT`` blocks ``[Xp^T A Xp, Xp^T A; A Xp, A]``
+    (``app_pas.c:223-295``) computed with ONE fine operator application.
+    """
+
+    def __init__(self, a_fine: LinearOperator, xp: jax.Array):
+        self.a_fine = a_fine
+        self.xp = xp                    # (n, k) promoted aux basis
+
+    @property
+    def shape(self):
+        n, k = self.xp.shape
+        return (n + k, n + k)
+
+    @property
+    def dtype(self):
+        return self.xp.dtype
+
+    def matvec(self, s):
+        k = self.xp.shape[1]
+        u, q = s[:k], s[k:]
+        t = self.xp @ u + q
+        at = self.a_fine.matvec(t)
+        return jnp.concatenate([self.xp.T @ at, at], axis=0)
+
+    def to_fine(self, s):
+        """Collapse a composite vector to the fine grid: ``Xp u + q``."""
+        k = self.xp.shape[1]
+        return self.xp @ s[:k] + s[k:]
+
+    def tree_flatten(self):
+        return (self.a_fine, self.xp), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@dataclass
+class PASResult:
+    eval: np.ndarray
+    evec: jax.Array
+    nev_conv: int
+    level_history: list
+
+
+def _rr_over_span(a_op, b_op, s, nev, zero_tol=1e-13):
+    """B-orthonormalize the span ``s`` and Rayleigh-Ritz: returns (lam, x)."""
+    bmv = None if b_op is None else b_op.matvec
+    q, rank = orth_block(s, bmv, zero_tol=zero_tol)
+    h = q.T @ a_op.matvec(q)
+    h = 0.5 * (h + h.T)
+    # mask deflated columns with a large diagonal so they sort last
+    mvalid = (jnp.arange(s.shape[1]) < rank).astype(s.dtype)
+    h = h * mvalid[None, :] * mvalid[:, None]
+    big = jnp.max(jnp.sum(jnp.abs(h), axis=1)) + 1.0
+    h = h + jnp.diag((1.0 - mvalid) * big)
+    w, c = jnp.linalg.eigh(h)
+    return w[:nev], q @ c[:, :nev]
+
+
+def pas_solve(
+    hier: MGHierarchy,
+    nev: int,
+    coarse_params: GCGParams | None = None,
+    sweeps_per_level: int = 2,
+    final_sweeps: int = 4,
+    bamg_cycles: int = 4,
+    tol_rel: float = 1e-8,
+    verbose: int = 1,
+) -> PASResult:
+    """Multilevel PAS driver (reference ``PAS``, ``ops_eig_sol_pas.c:534-730``).
+
+    ``hier`` must carry mass matrices (``build_hierarchy(..., b_vals=...)``)
+    or the problem is treated as standard (B = I per level).
+    """
+    lvls = hier.levels
+    top = hier.num_levels - 1
+
+    # work with a guard buffer of extra vectors so the nev-th mode is not
+    # polluted by the unresolved spectrum above it (the reference carries
+    # nevMax = 2*nev for the same reason, test_eig_sol_pas.c)
+    nev_work = min(nev + max(2, nev // 2), lvls[top].a_op.shape[0] - 1)
+
+    # ---- coarsest-grid eigensolve with GCG (ref :610-611) ----------------
+    cp = coarse_params or GCGParams(nev=nev_work, verbose=0, max_iter=300)
+    if cp.nev != nev_work:
+        cp = GCGParams(**{**cp.__dict__, "nev": nev_work})
+    nev, nev_out = nev_work, nev
+    res = gcg_solve(lvls[top].a_op, lvls[top].b_op, cp)
+    x = res.evec[:, :nev]
+    lam = jnp.asarray(res.eval[:nev])
+    history = [(top, np.asarray(lam).copy())]
+
+    for level in range(top - 1, -1, -1):
+        # PromoteX (ref :330-344)
+        x = lvls[level].p_op.matvec(x)
+        a_op, b_op = lvls[level].a_op, lvls[level].b_op
+        n_sweeps = final_sweeps if level == 0 else sweeps_per_level
+        for sweep in range(n_sweeps):
+            # ComputeN: inverse-power correction by BAMG (ref :345-390)
+            bx = x if b_op is None else b_op.matvec(x)
+            rhs = bx * lam[None, :]
+            n_corr, _, _ = bamg_solve(
+                hier, rhs, x0=x, level=level, max_cycles=bamg_cycles,
+                rtol=1e-12,
+            )
+            # Rayleigh-Ritz over the augmented span [X | N] (ref :50-249)
+            s = jnp.concatenate([x, n_corr], axis=1)
+            lam, x = _rr_over_span(a_op, b_op, s, nev)
+            if level == 0:
+                # finest level: stop sweeping once the wanted residuals meet tol
+                bx = x if b_op is None else b_op.matvec(x)
+                r = a_op.matvec(x) - bx * lam[None, :]
+                rel = np.asarray(jnp.sqrt(jnp.einsum("nm,nm->m", r, r))) / \
+                    np.maximum(np.abs(np.asarray(lam)), 1e-300)
+                if (rel[:nev_out] < tol_rel).all():
+                    break
+        history.append((level, np.asarray(lam).copy()))
+        if verbose:
+            print(f"PAS level {level}: lam[0:3] = {np.asarray(lam)[:3]}")
+
+    # convergence check on the finest level (ref :620-637)
+    bx = x if lvls[0].b_op is None else lvls[0].b_op.matvec(x)
+    r = lvls[0].a_op.matvec(x) - bx * lam[None, :]
+    res_norm = jnp.sqrt(jnp.einsum("nm,nm->m", r, r))
+    rel = np.asarray(res_norm) / np.maximum(np.abs(np.asarray(lam)), 1e-300)
+    nev_conv = int(np.sum(np.cumprod(rel[:nev_out] < tol_rel)))
+    return PASResult(
+        eval=np.asarray(lam)[:nev_out],
+        evec=x[:, :nev_out],
+        nev_conv=nev_conv,
+        level_history=history,
+    )

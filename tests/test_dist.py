@@ -1,0 +1,99 @@
+"""Distributed (row-sharded) path tests on the 8-virtual-device CPU mesh.
+
+The stand-in for the reference's cluster runs (``test/submit.sh``): the same
+solves must produce the same answers when A/B/multivectors are row-partitioned
+over a mesh — the reference's determinism requirement
+(``ops_eig_sol_gcg.c:1085-1088``: every rank must own identical eigenvectors)
+holds by construction here because the projected problem is replicated.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gcge_tpu.ops.operators import DenseOperator, DiagOperator, SparseOperator
+from gcge_tpu.parallel import pad_problem, row_mesh, shard_operator, shard_rows
+from gcge_tpu.solvers.bpcg import BlockPCGParams, block_pcg
+from gcge_tpu.solvers.gcg import GCGParams, gcg_solve
+from tests.conftest import laplacian_1d, laplacian_1d_eigs
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return row_mesh(8)
+
+
+def test_sharded_spmm_matches_local(mesh, rng):
+    n = 512
+    a, _ = laplacian_1d(n)
+    rows, cols = np.nonzero(a)
+    sp = SparseOperator.from_coo(rows, cols, a[rows, cols], a.shape)
+    sp_d = shard_operator(sp, mesh)
+    x = jnp.asarray(rng.standard_normal((n, 5)))
+    y_local = np.asarray(sp.matvec(x))
+    y_dist = np.asarray(sp_d.matvec(shard_rows(mesh, x)))
+    np.testing.assert_allclose(y_dist, y_local, rtol=1e-13)
+
+
+def test_sharded_dense_matches_local(mesh, rng):
+    n = 256
+    a = rng.standard_normal((n, n))
+    a = a + a.T
+    op = DenseOperator(jnp.asarray(a))
+    op_d = shard_operator(op, mesh)
+    x = jnp.asarray(rng.standard_normal((n, 3)))
+    np.testing.assert_allclose(
+        np.asarray(op_d.matvec(shard_rows(mesh, x))),
+        np.asarray(op.matvec(x)),
+        rtol=1e-12,
+    )
+
+
+def test_sharded_bpcg(mesh, rng):
+    n = 512
+    a, _ = laplacian_1d(n)
+    rows, cols = np.nonzero(a)
+    sp_d = shard_operator(SparseOperator.from_coo(rows, cols, a[rows, cols], a.shape), mesh)
+    x_true = rng.standard_normal((n, 3))
+    b = shard_rows(mesh, jnp.asarray(a @ x_true))
+    params = BlockPCGParams(max_iter=800, rate=0.0, tol=1e-12, tol_type="rel")
+    x, info = block_pcg(sp_d.matvec, b, jnp.zeros((n, 3)), params)
+    np.testing.assert_allclose(np.asarray(x), x_true, rtol=1e-6, atol=1e-8)
+
+
+def test_distributed_gcg_matches_single(mesh):
+    """Full GCG on the mesh must match the single-device solve."""
+    n, nev = 512, 8
+    a, _ = laplacian_1d(n)
+    rows, cols = np.nonzero(a)
+    sp = SparseOperator.from_coo(rows, cols, a[rows, cols], a.shape)
+    exact = laplacian_1d_eigs(n)
+    params = GCGParams(nev=nev, block_size=3, max_iter=60, verbose=0)
+
+    res_local = gcg_solve(sp, None, params)
+    res_dist = gcg_solve(shard_operator(sp, mesh), None, params, mesh=mesh)
+
+    assert res_dist.nev_conv >= nev
+    np.testing.assert_allclose(res_dist.eval[:nev], exact[:nev], rtol=1e-7)
+    np.testing.assert_allclose(res_dist.eval[:nev], res_local.eval[:nev], rtol=1e-9)
+
+
+def test_distributed_gcg_generalized_padded(mesh):
+    """n not divisible by the mesh: pad_problem keeps the smallest pairs."""
+    n, nev = 403, 6  # 403 = 13*31, not divisible by 8
+    a, h = laplacian_1d(n)
+    rows, cols = np.nonzero(a)
+    sp = SparseOperator.from_coo(rows, cols, a[rows, cols], a.shape)
+    b = DiagOperator(jnp.full(n, h))
+    exact = laplacian_1d_eigs(n) / h
+
+    a_pad, b_pad, n_orig = pad_problem(sp, b, 8)
+    assert a_pad.shape[0] % 8 == 0 and n_orig == n
+    params = GCGParams(nev=nev, block_size=3, max_iter=60, verbose=0)
+    res = gcg_solve(
+        shard_operator(a_pad, mesh), shard_operator(b_pad, mesh), params, mesh=mesh
+    )
+    assert res.nev_conv >= nev
+    np.testing.assert_allclose(res.eval[:nev], exact[:nev], rtol=1e-7)

@@ -1,0 +1,75 @@
+"""Multigrid tests — the asserting re-make of ``test/test_multi_grid.c``:
+build a hierarchy, round-trip a multivector fine->coarse->fine, and solve with
+the BAMG V-cycle against a known solution."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gcge_tpu.solvers.multigrid import (
+    bamg_solve,
+    build_hierarchy,
+    multivec_from_i_to_j,
+)
+from tests.conftest import laplacian_1d
+
+
+@pytest.fixture(scope="module")
+def hier():
+    a, _ = laplacian_1d(512)
+    rows, cols = np.nonzero(a)
+    return build_hierarchy(rows, cols, a[rows, cols], 512, max_levels=3), a
+
+
+def test_hierarchy_shapes(hier):
+    h, a = hier
+    assert h.num_levels == 3
+    sizes = [lv.a_op.shape[0] for lv in h.levels]
+    assert sizes[0] == 512 and sizes[0] > sizes[1] > sizes[2]
+    # coarse operator stays SPD-ish: positive diagonal
+    for lv in h.levels:
+        d = np.diag(np.asarray(lv.a_op.to_dense()))
+        assert (d > 0).all()
+
+
+def test_transfer_roundtrip(hier):
+    """Fine->coarse->fine must reproduce smooth vectors well (the reference
+    prints the round-trip for eyeballing; smooth modes are what P preserves)."""
+    h, a = hier
+    n = 512
+    t = np.linspace(0, 1, n + 2)[1:-1]
+    smooth = np.stack([np.sin(np.pi * t), np.sin(2 * np.pi * t)], axis=1)
+    x = jnp.asarray(smooth)
+    x_c = multivec_from_i_to_j(h, x, 0, 2)
+    assert x_c.shape[0] == h.levels[2].a_op.shape[0]
+    x_back = multivec_from_i_to_j(h, x_c, 2, 0)
+    # projection onto the coarse space: the smooth mode survives (cosine > .9)
+    num = np.abs(np.einsum("nm,nm->m", np.asarray(x_back), smooth))
+    den = np.linalg.norm(np.asarray(x_back), axis=0) * np.linalg.norm(smooth, axis=0)
+    assert (num / den > 0.9).all()
+
+
+def test_bamg_solves_poisson(hier):
+    h, a = hier
+    rng = np.random.default_rng(5)
+    x_true = rng.standard_normal((512, 3))
+    b = jnp.asarray(a @ x_true)
+    x, niter, rel = bamg_solve(h, b, max_cycles=30, rtol=1e-9)
+    assert float(jnp.max(rel)) < 1e-9
+    # error bound: kappa(A) ~ 6.5e4 times the residual tolerance
+    np.testing.assert_allclose(np.asarray(x), x_true, rtol=1e-3, atol=1e-4)
+    # multigrid must be much faster than the smoother alone would be
+    assert niter < 30
+
+
+def test_bamg_generalized_mass_coarsening():
+    a, h_ = laplacian_1d(256)
+    rows, cols = np.nonzero(a)
+    b_vals = np.where(rows == cols, h_, 0.0)[rows != -1]  # diag mass, same pattern
+    hier = build_hierarchy(rows, cols, a[rows, cols], 256,
+                           b_vals=b_vals, max_levels=3)
+    for lv in hier.levels:
+        assert lv.b_op is not None
+        bd = np.asarray(lv.b_op.to_dense())
+        np.testing.assert_allclose(bd, bd.T, atol=1e-12)
+        assert (np.linalg.eigvalsh(bd) > 0).all()

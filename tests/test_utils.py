@@ -1,0 +1,50 @@
+"""CLI flag surface and checkpoint/resume tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from gcge_tpu.ops.operators import DenseOperator
+from gcge_tpu.solvers.gcg import GCGParams, gcg_solve
+from gcge_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from gcge_tpu.utils.cli import params_from_args, print_usage
+from tests.conftest import laplacian_1d, laplacian_1d_eigs
+
+
+def test_cli_flags_reference_namespace():
+    argv = (
+        "-nevConv 40 -nevMax 90 -blockSize 8 -gcge_max_niter 123 "
+        "-gcge_abs_tol 1e-2 -gcge_rel_tol 1e-9 -gcge_min_gap 0.05 "
+        "-gcge_compW_cg_max_iter 55 -gcge_compW_cg_rate 1e-3 "
+        "-gcge_compW_cg_tol 1e-10 -gcge_compW_cg_tol_type rel "
+        "-gcge_compW_cg_auto_shift 1 -gcge_compW_cg_shift -0.5 "
+        "-gcge_initX_orth_method bgs -gcge_compW_orth_zero_tol 1e-11"
+    ).split()
+    p, extras = params_from_args(argv)
+    assert (p.nev, p.nev_max, p.block_size) == (40, 90, 8)
+    assert p.max_iter == 123
+    assert (p.tol_abs, p.tol_rel, p.gap_min) == (1e-2, 1e-9, 0.05)
+    assert (p.cg_max_iter, p.cg_rate, p.cg_tol, p.cg_tol_type) == (55, 1e-3, 1e-10, "rel")
+    assert p.cg_auto_shift is True and p.cg_shift == -0.5
+    assert p.orth_zero_tol == 1e-11
+    assert extras["-gcge_initX_orth_method"] == "bgs"
+    # usage text must render
+    lines = []
+    print_usage(lambda s="": lines.append(s))
+    assert any("-gcge_rel_tol" in l for l in lines)
+
+
+def test_checkpoint_resume(tmp_path):
+    n, nev = 200, 6
+    a, _ = laplacian_1d(n)
+    op = DenseOperator(jnp.asarray(a))
+    params = GCGParams(nev=nev, block_size=3, max_iter=60, verbose=0)
+    res = gcg_solve(op, None, params)
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, res, params)
+    ev, evec, nev_conv, meta = load_checkpoint(path)
+    assert nev_conv >= nev and meta["nev"] == nev
+    # resume from checkpointed vectors: converges almost immediately
+    res2 = gcg_solve(op, None, params, x0=evec[:, :nev])
+    assert res2.nev_conv >= nev
+    np.testing.assert_allclose(res2.eval[:nev], laplacian_1d_eigs(n)[:nev], rtol=1e-7)
+    assert res2.num_iter <= res.num_iter
