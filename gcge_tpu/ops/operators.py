@@ -314,6 +314,29 @@ class DiaOperator(LinearOperator):
         values[d_idx, rows] = vals
         return cls(jnp.asarray(values), tuple(uniq.tolist()), n_cols)
 
+    def matvec_t(self, xt):
+        """Transposed-layout matvec: ``xt (m, n) -> (A @ x)^T (m, n)``.
+
+        Same shift-and-FMA formulation with the row index on the LAST axis —
+        the layout of the Pallas kernel and of transposed hot loops (the
+        mixed-precision inner CG), avoiding per-matvec transposes.
+        """
+        n = self.values.shape[1]
+        m = xt.shape[0]
+        y = jnp.zeros((m, n), xt.dtype)
+        zero_col = jnp.zeros((m, 1), xt.dtype)
+        for d, off in enumerate(self.offsets):
+            if off == 0:
+                xs = xt
+            elif off > 0:
+                pad = jnp.broadcast_to(zero_col, (m, min(off, n)))
+                xs = jnp.concatenate([xt[:, off:], pad], axis=1)[:, :n]
+            else:
+                pad = jnp.broadcast_to(zero_col, (m, min(-off, n)))
+                xs = jnp.concatenate([pad, xt[:, : n + off]], axis=1)[:, :n]
+            y = y + self.values[d][None, :] * xs
+        return y
+
     def to_dense(self):
         n = self.values.shape[1]
         out = jnp.zeros((n, self.n_cols), dtype=self.dtype)

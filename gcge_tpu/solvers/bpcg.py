@@ -108,7 +108,10 @@ def block_pcg(
         p = jnp.where(active[None, :], r + beta[None, :] * p, 0.0)
         w = matvec(p)
         ptw = _col_dots(p, w, psum_axis)
-        alpha = jnp.where(active & (ptw > 0), rho_cur / jnp.where(ptw > 0, ptw, 1.0), 0.0)
+        # no positivity guard: GCG's damped operator (A + sigma*B) is
+        # deliberately indefinite and the reference runs plain CG on it
+        # (ops_lin_sol.c:332); only division by exact zero is avoided.
+        alpha = jnp.where(active & (ptw != 0), rho_cur / jnp.where(ptw != 0, ptw, 1.0), 0.0)
         x = x + alpha[None, :] * p
         r = r - alpha[None, :] * w
         rho_next = _col_dots(r, r, psum_axis)
@@ -119,6 +122,69 @@ def block_pcg(
     state0 = (jnp.int32(0), x0, r, jnp.zeros_like(r), rho, rho, active)
     niter, x, r, p, rho_prev, rho_cur, active = jax.lax.while_loop(cond, body, state0)
     return x, BlockPCGInfo(niters=niter, final_res=jnp.sqrt(rho_cur), init_res=init_res)
+
+
+def block_pcg_t(
+    matvec_t,
+    bt: jax.Array,
+    x0t: jax.Array,
+    params: BlockPCGParams = BlockPCGParams(),
+    active0: jax.Array | None = None,
+    psum_axis: str | None = None,
+):
+    """Transposed-layout block CG: all arrays are ``(m, n)`` (columns of the
+    mathematical multivector live on ROWS; the grid index is the last,
+    lane-friendly axis).  This is the layout of the Pallas DIA kernel
+    (``ops/spmm_pallas.py``) — running the whole CG loop here makes the inner
+    solve transpose-free.  Semantics identical to :func:`block_pcg`."""
+    m = bt.shape[0]
+    dtype = bt.dtype
+    if active0 is None:
+        active0 = jnp.ones((m,), dtype=bool)
+
+    def dots(x, y):
+        d = jnp.einsum("mn,mn->m", x, y, preferred_element_type=dtype)
+        if psum_axis is not None:
+            d = jax.lax.psum(d, psum_axis)
+        return d
+
+    if params.tol_type == "rel":
+        nb = jnp.sqrt(dots(bt, bt))
+    else:
+        nb = jnp.ones((m,), dtype=dtype)
+
+    r = bt - matvec_t(x0t)
+    r = jnp.where(active0[:, None], r, 0.0)
+    rho = dots(r, r)
+    init_res = jnp.sqrt(rho)
+    active = active0 & (init_res > params.tol * nb)
+    rate = jnp.asarray(params.rate, dtype)
+    tol = jnp.asarray(params.tol, dtype)
+
+    def cond(st):
+        niter, x, r, p, rho_prev, rho_cur, active = st
+        return (niter < params.max_iter) & jnp.any(active)
+
+    def body(st):
+        niter, x, r, p, rho_prev, rho_cur, active = st
+        beta = jnp.where((niter > 0) & active & (rho_prev > 0),
+                         rho_cur / jnp.where(rho_prev > 0, rho_prev, 1.0), 0.0)
+        p = jnp.where(active[:, None], r + beta[:, None] * p, 0.0)
+        w = matvec_t(p)
+        ptw = dots(p, w)
+        alpha = jnp.where(active & (ptw != 0),
+                          rho_cur / jnp.where(ptw != 0, ptw, 1.0), 0.0)
+        x = x + alpha[:, None] * p
+        r = r - alpha[:, None] * w
+        rho_next = dots(r, r)
+        res = jnp.sqrt(rho_next)
+        still = active & (res > rate * init_res) & (res > tol * nb)
+        return (niter + 1, x, r, p, rho_cur, rho_next, still)
+
+    st0 = (jnp.int32(0), x0t, r, jnp.zeros_like(r), rho, rho, active)
+    niter, x, r, p, rho_prev, rho_cur, active = jax.lax.while_loop(cond, body, st0)
+    return x, BlockPCGInfo(niters=niter, final_res=jnp.sqrt(rho_cur),
+                           init_res=init_res)
 
 
 def pcg(matvec, b: jax.Array, x0: jax.Array, max_iter=50, rate=1e-2, tol=1e-12,

@@ -51,7 +51,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gcge_tpu.ops.multivec import block_inner
-from gcge_tpu.solvers.bpcg import BlockPCGParams, block_pcg
+from gcge_tpu.solvers.bpcg import BlockPCGParams, block_pcg, block_pcg_t
 from gcge_tpu.solvers.orth import orth_against, orth_block, orth_block_against
 
 
@@ -81,12 +81,34 @@ class GCGParams:
     cg_tol_type: str = "abs"
     cg_auto_shift: bool = False
     cg_shift: float = 0.0
+    cg_order: int = 1          # 2 -> ComputeW12 two-stage Krylov variant
+    # mixed-precision inner solve: f32 transposed CG stages (Pallas DIA on
+    # TPU) + f64 residual refinement.  Requires a DiaOperator A and
+    # diagonal/None B.  cg_refine = number of refinement stages.
+    cg_mixed: bool = False
+    cg_refine: int = 2
+    # user-defined inner solver (reference user_defined_multi_linear_solver,
+    # test_eig_sol_gcg.c:94): callable (matvec, rhs, x0, active_mask) -> W.
+    # Must be jit-traceable; replaces the built-in block CG when set.
+    linear_solver: Any = None
     # orthogonalization
     orth_zero_tol: float = 1e-13
     orth_passes: int = 2
     # misc
     verbose: int = 1
     dtype: Any = jnp.float64
+    # fuse > 0: run chunks of up to `fuse` whole iterations as ONE device
+    # dispatch (lax.while_loop) — control flow included.  Essential when the
+    # host<->device dispatch latency is comparable to an iteration (remote
+    # TPU endpoints); fuse = 0 keeps one dispatch per phase and the
+    # reference-style per-phase timer table.
+    fuse: int = 0
+    # 'device' solves the projected eigenproblem with jnp.linalg.eigh
+    # (replicated, works under any sharding); 'host' routes it through a
+    # pure_callback to LAPACK dsyevd — the TPU-era analogue of the
+    # reference's MPI spectrum-sliced dsyevx (ops_eig_sol_gcg.c:1084-1189):
+    # when f64 eigh emulation on device dominates compRR, offload it.
+    rr_backend: str = "device"
 
     def resolved(self, n: int) -> "GCGParams":
         """Fill auto defaults following the reference test driver
@@ -132,8 +154,30 @@ def _matvec(op, x):
     return x if op is None else op.matvec(x)
 
 
-@partial(jax.jit, static_argnames=("size_x", "bs"))
-def _initial_rr(a_op, v, size_x: int, bs: int):
+def _host_eigh(h):
+    """eigh via pure_callback to host LAPACK (dsyevd) — f64 at full speed."""
+    m = h.shape[0]
+
+    def cb(hm):
+        w, c = np.linalg.eigh(hm)
+        return w.astype(hm.dtype), c.astype(hm.dtype)
+
+    return jax.pure_callback(
+        cb,
+        (jax.ShapeDtypeStruct((m,), h.dtype), jax.ShapeDtypeStruct((m, m), h.dtype)),
+        h,
+        vmap_method="sequential",
+    )
+
+
+def _eigh(h, backend: str):
+    if backend == "host":
+        return _host_eigh(h)
+    return jnp.linalg.eigh(h)
+
+
+@partial(jax.jit, static_argnames=("size_x", "bs", "rr_backend"))
+def _initial_rr(a_op, v, size_x: int, bs: int, rr_backend: str = "device"):
     """First Rayleigh-Ritz on V = [X]: H = X^T A X, eigh, Ritz vectors.
 
     Reference: first ``ComputeRayleighRitz`` call with sizeX == sizeV
@@ -141,7 +185,7 @@ def _initial_rr(a_op, v, size_x: int, bs: int):
     m = size_x + 2 * bs
     x = v[:, :size_x]
     h_xx = block_inner(x, a_op.matvec(x), "S")
-    w, c = jnp.linalg.eigh(h_xx)
+    w, c = _eigh(h_xx, rr_backend)
     ss_eval = jnp.concatenate([w, jnp.full((m - size_x,), w[-1], w.dtype)])
     ss_evec = jnp.eye(m, dtype=v.dtype).at[:size_x, :size_x].set(c)
     h = jnp.zeros((m, m), v.dtype).at[:size_x, :size_x].set(h_xx)
@@ -193,17 +237,28 @@ def _compute_p(v, ss_evec, h, act_idx, act_cnt, size_x: int, bs: int,
 
 @partial(
     jax.jit,
-    static_argnames=("size_x", "bs", "cg", "zero_tol", "passes"),
+    static_argnames=("size_x", "bs", "cg", "zero_tol", "passes", "cg_order",
+                     "linear_solver", "mixed", "refine"),
 )
 def _compute_w(a_op, b_op, v, ritz, ss_eval, act_idx, act_cnt, sigma,
                size_x: int, bs: int, cg: BlockPCGParams, zero_tol: float,
-               passes: int):
+               passes: int, cg_order: int = 1, linear_solver=None,
+               mixed: bool = False, refine: int = 2):
     """Inverse-power correction block W.
 
     Reference ``ComputeW`` (``ops_eig_sol_gcg.c:472-695``): for the active
     window solve ``(A + sigma B) w = (lambda + sigma) B x`` by block CG with
     initial guess x, then B-orthonormalize W against [X | P] and within itself
-    (rank-revealing).  The shifted operator is functional — A never mutated."""
+    (rank-revealing).  The shifted operator is functional — A never mutated.
+
+    ``cg_order == 2`` is the ``ComputeW12`` variant (``:697-923``): only half
+    the active window is solved, but the W block receives TWO Krylov stages
+    per column — the iterate after one CG budget and the iterate after a
+    second continued budget — deepening the search space per column.
+
+    ``linear_solver`` (static callable) replaces the built-in block CG —
+    the ``user_defined_multi_linear_solver`` hook
+    (``test_eig_sol_gcg.c:94``, flags 1/2)."""
     colmask = jnp.arange(bs) < act_cnt
     fmask = colmask.astype(v.dtype)
     xact = jnp.take(ritz, act_idx, axis=1) * fmask[None, :]
@@ -215,17 +270,73 @@ def _compute_w(a_op, b_op, v, ritz, ss_eval, act_idx, act_cnt, sigma,
         ay = a_op.matvec(y)
         return ay + sigma * _matvec(b_op, y)
 
-    w, info = block_pcg(shifted, rhs, xact, cg, active0=colmask)
-    w = w * fmask[None, :]
+    if linear_solver is not None:
+        w = linear_solver(shifted, rhs, xact, colmask)
+        niters = jnp.int32(0)
+        final_res = jnp.zeros((bs,), v.dtype)
+    elif mixed:
+        # mixed-precision iterative refinement: f32 transposed CG stages
+        # (Pallas DIA kernel on TPU) with f64 residual recomputation between
+        # — the inner-solve bandwidth halves and the matvec runs the fast
+        # kernel, while the correction direction stays f64-accurate.
+        from gcge_tpu.ops.operators import DiaOperator, DiagOperator
+
+        assert isinstance(a_op, DiaOperator), "cg_mixed requires a DIA operator"
+        assert b_op is None or isinstance(b_op, DiagOperator), \
+            "cg_mixed requires B = None or diagonal"
+        use_pallas = jax.default_backend() == "tpu"
+        a32 = a_op.values.astype(jnp.float32)
+        offs = a_op.offsets
+        b32 = None if b_op is None else b_op.d.astype(jnp.float32)
+        s32 = sigma.astype(jnp.float32)
+
+        def mv32_t(yt):
+            if use_pallas:
+                from gcge_tpu.ops.spmm_pallas import dia_spmm_pallas_t
+
+                y = dia_spmm_pallas_t(a32, offs, yt, interpret=False)
+            else:
+                y = DiaOperator(a32, offs, a_op.n_cols).matvec_t(yt)
+            byt = yt if b32 is None else b32[None, :] * yt
+            return y + s32 * byt
+
+        w = xact
+        niters = jnp.int32(0)
+        for _ in range(refine):
+            r = (rhs - shifted(w)) * fmask[None, :]
+            rt = r.T.astype(jnp.float32)
+            d, info = block_pcg_t(mv32_t, rt, jnp.zeros_like(rt), cg,
+                                  active0=colmask)
+            w = w + d.T.astype(v.dtype)
+            niters = niters + info.niters
+        rfin = (rhs - shifted(w)) * fmask[None, :]
+        final_res = jnp.sqrt(jnp.einsum("nm,nm->m", rfin, rfin))
+    elif cg_order == 2:
+        half = max(bs // 2, 1)
+        hmask = colmask & (jnp.arange(bs) < half)
+        w1, info1 = block_pcg(shifted, rhs, xact, cg, active0=hmask)
+        w2, info2 = block_pcg(shifted, rhs, w1, cg, active0=hmask)
+        hf = hmask.astype(v.dtype)[None, :]
+        w = jnp.concatenate(
+            [(w1 * hf)[:, :half], (w2 * hf)[:, :half]], axis=1
+        )
+        w = jnp.pad(w, ((0, 0), (0, bs - w.shape[1])))[:, :bs]
+        niters = info1.niters + info2.niters
+        final_res = info2.final_res
+    else:
+        w, info = block_pcg(shifted, rhs, xact, cg, active0=colmask)
+        w = w * fmask[None, :]
+        niters, final_res = info.niters, info.final_res
     q = v[:, : size_x + bs]
     bmv = None if b_op is None else b_op.matvec
     w, w_cnt = orth_block_against(w, q, bmv, zero_tol=zero_tol, passes=passes)
     v = v.at[:, size_x + bs:].set(w)
-    return v, w_cnt, info.niters, info.final_res
+    return v, w_cnt, niters, final_res
 
 
-@partial(jax.jit, static_argnames=("size_x", "bs"))
-def _rayleigh_ritz(a_op, v, h_pp, ss_eval, p_cnt, w_cnt, size_x: int, bs: int):
+@partial(jax.jit, static_argnames=("size_x", "bs", "rr_backend"))
+def _rayleigh_ritz(a_op, v, h_pp, ss_eval, p_cnt, w_cnt, size_x: int, bs: int,
+                   rr_backend: str = "device"):
     """Assemble the projected matrix and solve the small eigenproblem.
 
     Reference ``ComputeRayleighRitz`` (``ops_eig_sol_gcg.c:925-1252``):
@@ -260,7 +371,7 @@ def _rayleigh_ritz(a_op, v, h_pp, ss_eval, p_cnt, w_cnt, size_x: int, bs: int):
     h = h * fvalid[None, :] * fvalid[:, None]
     gersh = jnp.max(jnp.sum(jnp.abs(h), axis=1)) + 1.0
     h_eig = h + jnp.diag((1.0 - fvalid) * gersh)
-    w, c = jnp.linalg.eigh(h_eig)
+    w, c = _eigh(h_eig, rr_backend)
     act_tot = size_x + p_cnt + w_cnt
     lam_pad = jnp.take(w, act_tot - 1)
     ss_eval_new = jnp.where(jnp.arange(m) < act_tot, w, lam_pad)
@@ -273,6 +384,149 @@ def _set_x(v, ritz, size_x: int):
     """ComputeX: copy the Ritz vectors into the X slots of V
     (``ops_eig_sol_gcg.c:458-471``)."""
     return v.at[:, :size_x].set(ritz)
+
+
+# --------------------------------------------------------------------------
+# fused iteration: the whole GCG step (CheckConvergence -> ComputeP/X/W ->
+# RayleighRitz -> RitzVec) as ONE traced program, with the host-side
+# convergence/window logic re-expressed in traced ops.  A chunk of up to
+# `max_steps` iterations runs in a single lax.while_loop — one device
+# dispatch, zero host syncs inside (the reference pays an MPI_Allreduce per
+# inner product instead; here even the *control flow* stays on device).
+# --------------------------------------------------------------------------
+
+
+def _classify_traced(res, lam, tol_abs, tol_rel):
+    big = jnp.abs(lam) > tol_rel
+    return jnp.where(big,
+                     (res > tol_abs) | (res > jnp.abs(lam) * tol_rel),
+                     res > tol_abs)
+
+
+def _check_convergence_traced(res, ss_eval, c0, scan_from, nev_conv_prev,
+                              size_x, bs, tol_abs, tol_rel, gap_min):
+    """Traced twin of _check_convergence_host (same semantics)."""
+    ar = jnp.arange(bs)
+    lam_win = jax.lax.dynamic_slice(ss_eval, (c0,), (bs,))
+    unconv = _classify_traced(res, lam_win, tol_abs, tol_rel)
+    unconv = unconv | (ar < scan_from)  # positions before scan_from don't count
+    # first unconverged index in [scan_from, bs)
+    scan_unconv = unconv & (ar >= scan_from)
+    idx = jnp.where(jnp.any(scan_unconv),
+                    jnp.argmax(scan_unconv), jnp.int32(bs))
+    # multiplicity-cluster backoff: largest j <= idx with a real gap at j,
+    # over positions 0..bs INCLUSIVE (idx == bs when the whole window
+    # converged — the gap test then looks one past the window, as the host
+    # loop does)
+    ar1 = jnp.arange(bs + 1)
+    idx_m1 = jnp.clip(c0 + ar1 - 1, 0, ss_eval.shape[0] - 1)
+    idx_cur = jnp.clip(c0 + ar1, 0, ss_eval.shape[0] - 1)
+    lam_m1 = jnp.take(ss_eval, idx_m1)                               # lam[c0+i-1]
+    lam_cur = jnp.take(ss_eval, idx_cur)                             # lam[c0+i]
+    denom = jnp.where(lam_m1 != 0, jnp.abs(lam_m1), 1.0)
+    gap_ok = jnp.abs((lam_m1 - lam_cur) / denom) > gap_min
+    gap_ok = gap_ok | (ar1 + c0 == 0)   # position 0 has nothing below it
+    cand = jnp.where((ar1 <= idx) & gap_ok, ar1, 0)
+    j = jnp.max(cand)
+    j = jnp.minimum(j, idx)
+    nev_conv = jnp.maximum(nev_conv_prev, c0 + j)
+    # active window: unconverged checked columns first, then the sequential
+    # tail beyond the window, capped at size_x
+    win_idx = jnp.where(unconv & (ar >= scan_from), c0 + ar, size_x + ar)
+    tail = c0 + bs + ar
+    tail_idx = jnp.where(tail < size_x, tail, 2 * size_x + bs + ar)
+    cand_all = jnp.sort(jnp.concatenate([win_idx, tail_idx]))[:bs]
+    act_cnt = jnp.sum(cand_all < size_x).astype(jnp.int32)
+    # fallback when nothing is active: window at nev_conv
+    fb = jnp.minimum(nev_conv + ar, size_x - 1).astype(cand_all.dtype)
+    use_fb = act_cnt == 0
+    act_cnt = jnp.where(use_fb, jnp.int32(bs), act_cnt)
+    cand_all = jnp.where(use_fb, fb, cand_all)
+    # pad invalid slots with the last valid index
+    last_valid = cand_all[jnp.maximum(act_cnt - 1, 0)]
+    act_idx = jnp.where(jnp.arange(bs) < act_cnt, cand_all,
+                        last_valid).astype(jnp.int32)
+    act_idx = jnp.minimum(act_idx, size_x - 1)
+    return nev_conv.astype(jnp.int32), act_idx, act_cnt
+
+
+@partial(
+    jax.jit,
+    static_argnames=("size_x", "bs", "cg", "zero_tol", "passes", "cg_order",
+                     "linear_solver", "max_steps", "tol_abs", "tol_rel",
+                     "gap_min", "auto_shift", "shift", "rr_backend",
+                     "mixed", "refine"),
+)
+def _gcg_chunk(a_op, b_op, v, ritz, ss_eval, ss_evec, h,
+               act_idx, act_cnt, nev_conv, num_iter, nev_target,
+               size_x: int, bs: int, cg: BlockPCGParams, zero_tol: float,
+               passes: int, cg_order: int, linear_solver,
+               max_steps: int, tol_abs: float, tol_rel: float,
+               gap_min: float, auto_shift: bool, shift: float,
+               rr_backend: str = "device", mixed: bool = False,
+               refine: int = 2):
+    """Run up to ``max_steps`` full GCG iterations on device; exits early when
+    ``nev_conv >= nev_target`` or the subspace stagnates (P and W deflated)."""
+    m = size_x + 2 * bs
+
+    def cond(st):
+        (v, ritz, ss_eval, ss_evec, h, act_idx, act_cnt, nev_conv, num_iter,
+         steps, stall, res) = st
+        return (steps < max_steps) & (nev_conv < nev_target) & (stall < 2)
+
+    def body(st):
+        (v, ritz, ss_eval, ss_evec, h, act_idx, act_cnt, nev_conv, num_iter,
+         steps, stall, _) = st
+        # ---- CheckConvergence ----
+        c0_raw = nev_conv
+        c0 = jnp.minimum(c0_raw, size_x - bs).astype(jnp.int32)
+        scan_from = (c0_raw - c0).astype(jnp.int32)
+        res = _residual_norms(a_op, b_op, ritz, ss_eval, c0, size_x, bs)
+        first = num_iter == 0
+        nev_new, act_new, cnt_new = _check_convergence_traced(
+            res, ss_eval, c0, scan_from, nev_conv, size_x, bs,
+            tol_abs, tol_rel, gap_min)
+        nev_conv = jnp.where(first, nev_conv, nev_new)
+        ar = jnp.arange(bs, dtype=jnp.int32)
+        act_first = jnp.minimum(nev_conv + ar, size_x - 1)
+        act_new = jnp.where(first, act_first, act_new)
+        cnt_new = jnp.where(first, jnp.int32(bs), cnt_new)
+
+        # ---- ComputeP from the PREVIOUS active set ----
+        v_p, c_p, p_cnt, h_pp = _compute_p(
+            v, ss_evec, h, act_idx, act_cnt, size_x, bs, zero_tol, passes)
+        p_cnt = jnp.where(first, jnp.int32(0), p_cnt)
+        h_pp = jnp.where(first, jnp.zeros_like(h_pp), h_pp)
+        pmask = (jnp.arange(bs) < p_cnt).astype(v.dtype)
+        v = v_p.at[:, size_x:size_x + bs].multiply(pmask[None, :])
+
+        # ---- ComputeX ----
+        v = _set_x(v, ritz, size_x)
+
+        # ---- ComputeW with the NEW active set ----
+        sigma = jnp.asarray(shift, v.dtype)
+        if auto_shift:
+            ic = jnp.minimum(nev_conv, size_x - 2)
+            lam_c = jnp.take(ss_eval, ic)
+            lam_c1 = jnp.take(ss_eval, ic + 1)
+            sigma = sigma + (-lam_c + 0.01 * (lam_c1 - lam_c))
+        v, w_cnt, cg_iters, cg_res = _compute_w(
+            a_op, b_op, v, ritz, ss_eval, act_new, cnt_new, sigma,
+            size_x, bs, cg, zero_tol, passes, cg_order, linear_solver,
+            mixed, refine)
+
+        # ---- RayleighRitz + RitzVec ----
+        ss_eval, ss_evec, h, ritz = _rayleigh_ritz(
+            a_op, v, h_pp, ss_eval, p_cnt, w_cnt, size_x, bs, rr_backend)
+
+        stall = jnp.where((p_cnt == 0) & (w_cnt == 0), stall + 1, jnp.int32(0))
+        return (v, ritz, ss_eval, ss_evec, h, act_new, cnt_new, nev_conv,
+                num_iter + 1, steps + 1, stall, res)
+
+    st0 = (v, ritz, ss_eval, ss_evec, h, act_idx, act_cnt,
+           jnp.int32(nev_conv), jnp.int32(num_iter), jnp.int32(0),
+           jnp.int32(0), jnp.zeros((bs,), v.dtype))
+    return jax.lax.while_loop(cond, body, st0)
 
 
 @partial(jax.jit, static_argnames=("extra",))
@@ -424,7 +678,8 @@ def gcg_solve(
               p.orth_zero_tol, p.orth_passes)
     m = size_x + 2 * bs
     v = _shard(jnp.zeros((n, m), dtype)).at[:, :size_x].set(_shard(x))
-    ss_eval, ss_evec, h, ritz, v = timed("compRR", _initial_rr, a_op, v, size_x, bs)
+    ss_eval, ss_evec, h, ritz, v = timed("compRR", _initial_rr, a_op, v,
+                                          size_x, bs, p.rr_backend)
 
     nev_target = nev0 if size_x >= p.nev_max else min(2 * bs, nev0)
     nev_conv = 0
@@ -440,6 +695,70 @@ def gcg_solve(
     if p.verbose:
         print(f"GCG: n={n} nev={nev0} bs={bs} sizeX={size_x} nevMax={p.nev_max}")
         print("numIter\tnevConv")
+
+    # ---------------- fused chunked path (one dispatch per `fuse` iters) ----
+    if p.fuse > 0:
+        act_idx_d = jnp.minimum(jnp.arange(bs, dtype=jnp.int32), size_x - 1)
+        act_cnt_d = jnp.int32(bs)
+        while True:
+            (v, ritz, ss_eval, ss_evec, h, act_idx_d, act_cnt_d, nev_conv_d,
+             num_iter_d, steps_d, stall_d, res_d) = _gcg_chunk(
+                a_op, b_op, v, ritz, ss_eval, ss_evec, h,
+                act_idx_d, act_cnt_d, nev_conv, num_iter, nev_target,
+                size_x, bs, cg, p.orth_zero_tol, p.orth_passes, p.cg_order,
+                p.linear_solver, p.fuse, p.tol_abs, p.tol_rel, p.gap_min,
+                p.cg_auto_shift, p.cg_shift, p.rr_backend, p.cg_mixed,
+                p.cg_refine,
+            )
+            nev_conv = int(nev_conv_d)
+            num_iter = int(num_iter_d)
+            stall = int(stall_d)
+            res_h = np.asarray(res_d)
+            history.append((num_iter, nev_conv))
+            if p.verbose:
+                print(f"{num_iter}\t{nev_conv}\t(res window max {res_h.max():.4e})")
+            if nev_conv >= nev_target:
+                if nev_conv >= nev0 or size_x >= p.nev_max:
+                    break
+                # restart growth (host; same as the phase-wise path)
+                extra = min(2 * bs, p.nev_max - size_x)
+                ritz = _expand_ritz(v, ss_evec, ritz, jnp.int32(size_x), extra)
+                size_x += extra
+                nev_target = min(nev_target + extra, nev0)
+                m = size_x + 2 * bs
+                v = _shard(jnp.zeros((n, m), dtype)).at[:, :size_x].set(ritz)
+                ss_eval_h2 = np.asarray(ss_eval)
+                lam_new = np.concatenate(
+                    [ss_eval_h2[:size_x], np.full((2 * bs,), ss_eval_h2[size_x - 1])]
+                )
+                ss_eval = jnp.asarray(lam_new, dtype)
+                ss_evec = jnp.eye(m, dtype=dtype)
+                h = jnp.diag(ss_eval[:m]).at[size_x:, size_x:].set(0.0)
+                iter_budget -= num_iter
+                num_iter = 0
+                act_idx_d = jnp.minimum(
+                    nev_conv + jnp.arange(bs, dtype=jnp.int32), size_x - 1)
+                act_cnt_d = jnp.int32(bs)
+                if p.verbose:
+                    print(f"GCG restart: sizeX -> {size_x}, target -> {nev_target}")
+                continue
+            if stall >= 2:
+                if p.verbose:
+                    print("GCG: subspace stagnated (P and W deflated); stopping")
+                break
+            if num_iter >= iter_budget:
+                break
+        timers["total"] = time.perf_counter() - t_start
+        nev_out = min(nev_conv if nev_conv > 0 else nev0, size_x)
+        return GCGResult(
+            eval=np.asarray(ss_eval)[:size_x],
+            evec=ritz,
+            nev_conv=int(nev_conv),
+            num_iter=int(num_iter + (p.max_iter - iter_budget)),
+            res_norms=res_h,
+            timers=timers,
+            history=history,
+        )
 
     while True:
         # ---- CheckConvergence ------------------------------------------
@@ -525,7 +844,8 @@ def gcg_solve(
             a_op, b_op, v, ritz, ss_eval,
             jnp.asarray(act_idx), jnp.int32(act_cnt),
             jnp.asarray(sigma, dtype), size_x, bs, cg,
-            p.orth_zero_tol, p.orth_passes,
+            p.orth_zero_tol, p.orth_passes, p.cg_order, p.linear_solver,
+            p.cg_mixed, p.cg_refine,
         )
         jax.block_until_ready(v)
         timers["compW"] += time.perf_counter() - t0
@@ -536,7 +856,7 @@ def gcg_solve(
         # ---- RayleighRitz + RitzVec ---------------------------------------
         t0 = time.perf_counter()
         ss_eval, ss_evec, h, ritz = _rayleigh_ritz(
-            a_op, v, h_pp, ss_eval, p_cnt, w_cnt, size_x, bs
+            a_op, v, h_pp, ss_eval, p_cnt, w_cnt, size_x, bs, p.rr_backend
         )
         jax.block_until_ready(ritz)
         timers["compRR"] += time.perf_counter() - t0

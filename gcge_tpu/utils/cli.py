@@ -38,6 +38,7 @@ _FLAG_MAP = {
     "-gcge_compW_cg_auto_shift": ("cg_auto_shift", lambda v: bool(int(v))),
     "-gcge_compW_cg_shift": ("cg_shift", float),
     "-gcge_print_conv": ("verbose", int),
+    "-gcge_compW_cg_order": ("cg_order", int),
 }
 
 # accepted for compatibility; recorded in `extras`, no TPU-side effect
@@ -58,7 +59,6 @@ _COMPAT_FLAGS = {
     "-gcge_compW_orth_block_size": int,
     "-gcge_compW_orth_max_reorth": int,
     "-gcge_compW_orth_zero_tol": float,
-    "-gcge_compW_cg_order": int,
     "-gcge_compRR_min_num": int,
     "-gcge_compRR_min_gap": float,
     "-gcge_compRR_tol": float,

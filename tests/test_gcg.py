@@ -132,3 +132,83 @@ def test_gcg_clustered_spectrum():
     params = GCGParams(nev=nev, block_size=4, max_iter=100, verbose=0, cg_max_iter=50)
     result = gcg_solve(DenseOperator(jnp.asarray(a)), None, params)
     _check_eigs(result, a, None, nev, exact=np.sort(lam))
+
+
+def test_gcg_cg_order2():
+    """ComputeW12 variant (compW_cg_order=2, ``ops_eig_sol_gcg.c:697-923``):
+    half-width active window with two Krylov stages per column."""
+    n, nev = 300, 8
+    a, _ = laplacian_1d(n)
+    exact = laplacian_1d_eigs(n)
+    params = GCGParams(nev=nev, block_size=4, max_iter=80, verbose=0,
+                       cg_order=2, cg_max_iter=20)
+    result = gcg_solve(DenseOperator(jnp.asarray(a)), None, params)
+    _check_eigs(result, a, None, nev, exact=exact)
+
+
+def test_gcg_user_linear_solver():
+    """user_defined_multi_linear_solver hook: plug a custom inner solve."""
+    from gcge_tpu.solvers.bpcg import BlockPCGParams, block_pcg
+
+    def my_solver(matvec, rhs, x0, active):
+        x, _ = block_pcg(matvec, rhs, x0,
+                         BlockPCGParams(max_iter=40, rate=1e-3, tol=1e-14),
+                         active0=active)
+        return x
+
+    n, nev = 300, 6
+    a, _ = laplacian_1d(n)
+    exact = laplacian_1d_eigs(n)
+    params = GCGParams(nev=nev, block_size=3, max_iter=80, verbose=0,
+                       linear_solver=my_solver)
+    result = gcg_solve(DenseOperator(jnp.asarray(a)), None, params)
+    _check_eigs(result, a, None, nev, exact=exact)
+
+
+def test_gcg_fused_matches_phasewise():
+    """fuse>0 runs whole iterations as one device dispatch (traced
+    convergence/window logic) — must match the phase-wise path."""
+    n, nev = 300, 8
+    a, _ = laplacian_1d(n)
+    exact = laplacian_1d_eigs(n)
+    op = DenseOperator(jnp.asarray(a))
+    r0 = gcg_solve(op, None, GCGParams(nev=nev, max_iter=80, verbose=0, fuse=0))
+    r8 = gcg_solve(op, None, GCGParams(nev=nev, max_iter=80, verbose=0, fuse=8))
+    assert r8.nev_conv >= nev
+    np.testing.assert_allclose(r8.eval[:nev], exact[:nev], rtol=1e-7)
+    np.testing.assert_allclose(r8.eval[:nev], r0.eval[:nev], rtol=1e-9)
+    # fused restart-growth path
+    rg = gcg_solve(op, None, GCGParams(nev=nev, block_size=3, nev_max=16,
+                                       nev_init=9, max_iter=100, verbose=0,
+                                       fuse=4))
+    assert rg.nev_conv >= nev
+    np.testing.assert_allclose(rg.eval[:nev], exact[:nev], rtol=1e-7)
+
+
+def test_gcg_host_eigh_backend():
+    """rr_backend='host' routes the projected eigh through pure_callback to
+    LAPACK — results must match the device path."""
+    n, nev = 300, 8
+    a, _ = laplacian_1d(n)
+    exact = laplacian_1d_eigs(n)
+    op = DenseOperator(jnp.asarray(a))
+    r = gcg_solve(op, None, GCGParams(nev=nev, max_iter=80, verbose=0,
+                                      rr_backend="host", fuse=4))
+    assert r.nev_conv >= nev
+    np.testing.assert_allclose(r.eval[:nev], exact[:nev], rtol=1e-7)
+
+
+def test_gcg_mixed_precision_cg():
+    """cg_mixed: f32 transposed-CG stages + f64 refinement must still reach
+    the f64 convergence tolerance (DIA operator required)."""
+    from gcge_tpu.ops.operators import DiaOperator
+
+    n, nev = 400, 8
+    a, _ = laplacian_1d(n)
+    rows, cols = np.nonzero(a)
+    dia = DiaOperator.from_coo(rows, cols, a[rows, cols], a.shape)
+    exact = laplacian_1d_eigs(n)
+    params = GCGParams(nev=nev, block_size=4, max_iter=100, verbose=0,
+                       cg_mixed=True, cg_refine=2, fuse=4)
+    result = gcg_solve(dia, None, params)
+    _check_eigs(result, a, None, nev, exact=exact)
