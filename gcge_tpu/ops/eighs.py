@@ -1,0 +1,160 @@
+"""Accurate symmetric eigensolvers for emulated-f64 TPU devices.
+
+Measured on TPU v5e (axon): ``jnp.linalg.eigh`` in f64 returns eigenvalues
+accurate to ~1e-13 and eigenvectors orthonormal to ~1e-12, but the
+*backtransformation* runs at f32-level precision — the eigen-residual
+``||H u - u w||`` sits at ~6e-7 * ||H||.  Feeding such eigenvectors into
+Rayleigh-Ritz recombinations floors the whole eigensolver's attainable
+residual at ~1e-6, far above the reference's 1e-8 target
+(``/root/reference/src/ops_eig_sol_gcg.c:229-251``).  Host offload is not an
+option on this platform (the axon PJRT backend rejects pure_callback).
+
+:func:`eigh_accurate` fixes this device-side: take the fast device ``eigh``
+as a warm start, rotate ``H1 = u0^T H u0`` (nearly diagonal, off-diagonal
+~6e-7*||H||), then run a few sweeps of *cyclic Jacobi* — each sweep applies
+m-1 rounds of m/2 disjoint Givens rotations as dense m x m matmuls.  Short
+(m <= a few hundred) contractions are f64-accurate on this hardware, the
+rotation angles are computed elementwise (accurate f64 emulation), and
+Jacobi converges quadratically, so 2 sweeps drive the residual to ~1e-13.
+
+This replaces the reference's MPI spectrum-sliced ``dsyevx``
+(``ops_eig_sol_gcg.c:1084-1189``): there the dense eigensolve was split
+across ranks for speed; here it is re-done as MXU-friendly batched rotations
+for *precision* (and it stays inside fused device programs — no host sync).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=None)
+def _round_robin_rounds(m: int):
+    """Round-robin pairings: m-1 rounds of m/2 disjoint pairs covering all
+    index pairs once (circle method).  m must be even.  Returns a tuple of
+    (p, q) numpy index arrays per round."""
+    assert m % 2 == 0
+    players = list(range(m))
+    rounds = []
+    for _ in range(m - 1):
+        p = np.asarray([players[i] for i in range(m // 2)], np.int32)
+        q = np.asarray([players[m - 1 - i] for i in range(m // 2)], np.int32)
+        lo = np.minimum(p, q)
+        hi = np.maximum(p, q)
+        rounds.append((lo, hi))
+        players = [players[0]] + [players[-1]] + players[1:-1]
+    return tuple(rounds)
+
+
+def _jacobi_round(h, v, p, q):
+    """Apply m/2 disjoint Jacobi rotations zeroing H[p, q] (one round)."""
+    m = h.shape[0]
+    app = h[p, p]
+    aqq = h[q, q]
+    apq = h[p, q]
+    # stable 2x2 symmetric Schur (Golub & Van Loan): H'[p,q] = 0
+    small = jnp.abs(apq) <= 1e-300
+    apq_safe = jnp.where(small, 1.0, apq)
+    tau = (aqq - app) / (2.0 * apq_safe)
+    # |tau| huge: t = 1/(2 tau) to relative accuracy 1/(4 tau^2) < 1e-14.
+    # Computing sqrt(1 + tau^2) there would overflow — and the TPU's
+    # double-float f64 emulation turns near-overflow into NaN (inf - inf in
+    # renormalization), so the stable branch must see a clipped tau.
+    big = jnp.abs(tau) > 1e7
+    tau_c = jnp.clip(tau, -1e7, 1e7)
+    t_stable = jnp.sign(tau_c) / (jnp.abs(tau_c) + jnp.sqrt(1.0 + tau_c * tau_c))
+    t = jnp.where(big, 0.5 / jnp.where(big, tau, 1.0), t_stable)
+    t = jnp.where(tau == 0.0, 1.0, t)  # tau=0 -> t=1 (45 deg)
+    t = jnp.where(small, 0.0, t)
+    c = 1.0 / jnp.sqrt(1.0 + t * t)
+    s = t * c
+    # assemble the block rotation J = I with J[pp]=c J[qq]=c J[pq]=s J[qp]=-s
+    j = jnp.eye(m, dtype=h.dtype)
+    j = j.at[p, p].set(c).at[q, q].set(c).at[p, q].set(s).at[q, p].set(-s)
+    h = j.T @ h @ j
+    v = v @ j
+    return h, v
+
+
+@partial(jax.jit, static_argnames=("sweeps",))
+def jacobi_polish(h, w0, u0, sweeps: int = 2):
+    """Polish an approximate eigendecomposition ``(w0, u0)`` of symmetric h.
+
+    Returns ``(w, u)`` ascending, with ``u`` orthonormal and the residual
+    ``||H u - u w||`` at the accuracy of short-contraction matmuls (~1e-13
+    relative on TPU-emulated f64)."""
+    m = h.shape[0]
+    h1 = u0.T @ (h @ u0)
+    h1 = 0.5 * (h1 + h1.T)
+    me = m + (m % 2)
+    if me != m:
+        # decoupled dummy slot: zero coupling -> identity rotations
+        h1 = jnp.pad(h1, ((0, 1), (0, 1)))
+    v = jnp.eye(me, dtype=h.dtype)
+    rounds = jnp.asarray(np.stack(
+        [np.stack(r) for r in _round_robin_rounds(me)]
+    ))                                            # (R, 2, me//2)
+    n_rounds = rounds.shape[0]
+
+    def body(i, st):
+        h1, v = st
+        pq = rounds[i % n_rounds]
+        return _jacobi_round(h1, v, pq[0], pq[1])
+
+    h1, v = jax.lax.fori_loop(0, sweeps * n_rounds, body, (h1, v))
+    w = jnp.diagonal(h1)[:m]
+    v = v[:m, :m] if me != m else v
+    order = jnp.argsort(w)
+    w = jnp.take(w, order)
+    u = (u0 @ v)[:, order]
+    return w, u
+
+
+@partial(jax.jit, static_argnames=("sweeps",))
+def eigh_jacobi(h, sweeps: int = 2):
+    """Device-accurate ``eigh``: fast device eigh warm start + Jacobi polish."""
+    w0, u0 = jnp.linalg.eigh(h)
+    return jacobi_polish(h, w0, u0, sweeps=sweeps)
+
+
+def _host_eigh(h):
+    """eigh via pure_callback to host LAPACK — full f64, but unsupported on
+    the axon PJRT platform (kept for CPU/GPU/other TPU runtimes)."""
+    m = h.shape[0]
+
+    def cb(hm):
+        w, c = np.linalg.eigh(hm)
+        return w.astype(hm.dtype), c.astype(hm.dtype)
+
+    return jax.pure_callback(
+        cb,
+        (jax.ShapeDtypeStruct((m,), h.dtype), jax.ShapeDtypeStruct((m, m), h.dtype)),
+        h,
+        vmap_method="sequential",
+    )
+
+
+def eigh(h, backend: str = "auto"):
+    """Symmetric eigendecomposition, ascending.
+
+    backend:
+      * ``'auto'``   — ``'jacobi'`` on TPU f64 (accurate there), else device.
+      * ``'device'`` — plain ``jnp.linalg.eigh``.
+      * ``'jacobi'`` — :func:`eigh_jacobi` (device eigh + Jacobi polish).
+      * ``'host'``   — LAPACK via pure_callback (not available on axon).
+    """
+    if backend == "auto":
+        backend = (
+            "jacobi"
+            if jax.default_backend() == "tpu" and h.dtype == jnp.float64
+            else "device"
+        )
+    if backend == "host":
+        return _host_eigh(h)
+    if backend == "jacobi":
+        return eigh_jacobi(h)
+    return jnp.linalg.eigh(h)

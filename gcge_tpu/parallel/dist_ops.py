@@ -27,6 +27,7 @@ from jax import shard_map
 
 from gcge_tpu.ops.operators import (
     DenseOperator,
+    DiaOperator,
     DiagOperator,
     IdentityOperator,
     LinearOperator,
@@ -80,6 +81,9 @@ class RowShardedOperator(LinearOperator):
                 check_vma=False,
             )(inner.values, inner.indices, x)
 
+        if isinstance(inner, DiaOperator):
+            return self._dia_matvec(x)
+
         if isinstance(inner, DenseOperator):
 
             def f(a_local, x_local):
@@ -95,6 +99,75 @@ class RowShardedOperator(LinearOperator):
             )(inner.a, x)
 
         raise NotImplementedError(type(inner))
+
+    def _dia_matvec(self, x):
+        """Banded SpMM with *neighbor halo* exchange.
+
+        A DIA matrix couples row ``i`` only to rows ``i + off_d`` with static
+        offsets, so a device owning a contiguous row block needs just
+        ``hl = -min(off)`` rows from its left neighbor and ``hr = max(off)``
+        from its right — two ``ppermute`` messages of ``halo * m`` values over
+        ICI instead of all-gathering the full ``(n, m)`` multivector.  This is
+        the TPU-native form of the reference's point-to-point halo-exchange
+        SpMM (PHG backend, ``/root/reference/app/app_phg.c:292-359``); XLA
+        overlaps the ppermutes with the interior shift-FMA work.  Wraparound
+        halo rows at the global boundary are annihilated by the DIA zero
+        padding (``A[i, i+off]`` outside the matrix is stored as 0).  Falls
+        back to all-gather + windowing when the band exceeds the local block.
+        """
+        inner, mesh = self.inner, self.mesh
+        ndev = mesh.devices.size
+        offsets, n_cols = inner.offsets, inner.n_cols
+        hl = max(0, -min(offsets))
+        hr = max(0, max(offsets))
+        n = inner.shape[0]
+        ln = n // ndev
+        halo_ok = ndev > 1 and hl <= ln and hr <= ln
+
+        def apply_window(vals_local, xw):
+            # y[i] = sum_d vals_local[d, i] * xw[hl + i + off_d]
+            y = jnp.zeros((vals_local.shape[1], xw.shape[1]), xw.dtype)
+            for d, off in enumerate(offsets):
+                y = y + vals_local[d][:, None] * \
+                    jax.lax.slice_in_dim(xw, hl + off, hl + off + ln, axis=0)
+            return y
+
+        if ndev == 1:
+            def f1(vals_local, x_local):
+                xw = jnp.pad(x_local, ((hl, hr), (0, 0)))
+                return apply_window(vals_local, xw)
+
+            return shard_map(
+                f1, mesh=mesh,
+                in_specs=(P(None, ROWS), P(ROWS, None)),
+                out_specs=P(ROWS, None), check_vma=False,
+            )(inner.values, x)
+
+        if halo_ok:
+            fwd = [(i, (i + 1) % ndev) for i in range(ndev)]
+            bwd = [(i, (i - 1) % ndev) for i in range(ndev)]
+
+            def f(vals_local, x_local):
+                left = jax.lax.ppermute(x_local[ln - hl:], ROWS, fwd) \
+                    if hl else jnp.zeros((0, x_local.shape[1]), x_local.dtype)
+                right = jax.lax.ppermute(x_local[:hr], ROWS, bwd) \
+                    if hr else jnp.zeros((0, x_local.shape[1]), x_local.dtype)
+                xw = jnp.concatenate([left, x_local, right], axis=0)
+                return apply_window(vals_local, xw)
+        else:
+            def f(vals_local, x_local):
+                xg = jax.lax.all_gather(x_local, ROWS, axis=0, tiled=True)
+                xpad = jnp.pad(xg, ((hl, hr), (0, 0)))
+                r0 = jax.lax.axis_index(ROWS) * ln
+                xw = jax.lax.dynamic_slice(
+                    xpad, (r0, jnp.int32(0)), (hl + ln + hr, x_local.shape[1]))
+                return apply_window(vals_local, xw)
+
+        return shard_map(
+            f, mesh=mesh,
+            in_specs=(P(None, ROWS), P(ROWS, None)),
+            out_specs=P(ROWS, None), check_vma=False,
+        )(inner.values, x)
 
     def tree_flatten(self):
         return (self.inner,), (self.mesh,)

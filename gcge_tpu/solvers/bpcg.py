@@ -42,7 +42,7 @@ class BlockPCGInfo:
 
 
 def _col_dots(x, y, psum_axis=None):
-    d = jnp.einsum("nm,nm->m", x, y, preferred_element_type=x.dtype)
+    d = jnp.sum(x * y, axis=0)  # accurate on TPU emulated f64 (see multivec.col_dots)
     if psum_axis is not None:
         d = jax.lax.psum(d, psum_axis)
     return d
@@ -143,7 +143,7 @@ def block_pcg_t(
         active0 = jnp.ones((m,), dtype=bool)
 
     def dots(x, y):
-        d = jnp.einsum("mn,mn->m", x, y, preferred_element_type=dtype)
+        d = jnp.sum(x * y, axis=1)  # accurate on TPU emulated f64
         if psum_axis is not None:
             d = jax.lax.psum(d, psum_axis)
         return d

@@ -50,7 +50,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gcge_tpu.ops.multivec import block_inner
+from gcge_tpu.ops.multivec import block_inner, col_dots, gram
 from gcge_tpu.solvers.bpcg import BlockPCGParams, block_pcg, block_pcg_t
 from gcge_tpu.solvers.orth import orth_against, orth_block, orth_block_against
 
@@ -103,12 +103,13 @@ class GCGParams:
     # TPU endpoints); fuse = 0 keeps one dispatch per phase and the
     # reference-style per-phase timer table.
     fuse: int = 0
-    # 'device' solves the projected eigenproblem with jnp.linalg.eigh
-    # (replicated, works under any sharding); 'host' routes it through a
-    # pure_callback to LAPACK dsyevd — the TPU-era analogue of the
-    # reference's MPI spectrum-sliced dsyevx (ops_eig_sol_gcg.c:1084-1189):
-    # when f64 eigh emulation on device dominates compRR, offload it.
-    rr_backend: str = "device"
+    # Projected-eigenproblem backend (gcge_tpu.ops.eighs.eigh): 'auto' picks
+    # 'jacobi' (device eigh + Jacobi polish — required for f64 accuracy on
+    # TPU, where plain eigh has f32-level eigen-residuals) on TPU and plain
+    # 'device' eigh elsewhere; 'host' uses a pure_callback to LAPACK (not
+    # supported by the axon PJRT runtime).  This replaces the reference's MPI
+    # spectrum-sliced dsyevx (ops_eig_sol_gcg.c:1084-1189).
+    rr_backend: str = "auto"
 
     def resolved(self, n: int) -> "GCGParams":
         """Fill auto defaults following the reference test driver
@@ -154,30 +155,16 @@ def _matvec(op, x):
     return x if op is None else op.matvec(x)
 
 
-def _host_eigh(h):
-    """eigh via pure_callback to host LAPACK (dsyevd) — f64 at full speed."""
-    m = h.shape[0]
-
-    def cb(hm):
-        w, c = np.linalg.eigh(hm)
-        return w.astype(hm.dtype), c.astype(hm.dtype)
-
-    return jax.pure_callback(
-        cb,
-        (jax.ShapeDtypeStruct((m,), h.dtype), jax.ShapeDtypeStruct((m, m), h.dtype)),
-        h,
-        vmap_method="sequential",
-    )
-
-
 def _eigh(h, backend: str):
-    if backend == "host":
-        return _host_eigh(h)
-    return jnp.linalg.eigh(h)
+    """Projected-problem eigensolve; see :mod:`gcge_tpu.ops.eighs` for why
+    plain device eigh is not enough on emulated-f64 TPUs."""
+    from gcge_tpu.ops.eighs import eigh as eigh_impl
+
+    return eigh_impl(h, backend)
 
 
 @partial(jax.jit, static_argnames=("size_x", "bs", "rr_backend"))
-def _initial_rr(a_op, v, size_x: int, bs: int, rr_backend: str = "device"):
+def _initial_rr(a_op, v, size_x: int, bs: int, rr_backend: str = "auto"):
     """First Rayleigh-Ritz on V = [X]: H = X^T A X, eigh, Ritz vectors.
 
     Reference: first ``ComputeRayleighRitz`` call with sizeX == sizeV
@@ -205,7 +192,7 @@ def _residual_norms(a_op, b_op, ritz, ss_eval, c0, size_x: int, bs: int):
     cols = jax.lax.dynamic_slice(ritz, (jnp.int32(0), c0), (n, bs))
     lam = jax.lax.dynamic_slice(ss_eval, (c0,), (bs,))
     r = a_op.matvec(cols) - lam[None, :] * _matvec(b_op, cols)
-    return jnp.sqrt(jnp.einsum("nm,nm->m", r, r))
+    return jnp.sqrt(col_dots(r, r))
 
 
 @partial(jax.jit, static_argnames=("size_x", "bs", "zero_tol", "passes"))
@@ -310,7 +297,7 @@ def _compute_w(a_op, b_op, v, ritz, ss_eval, act_idx, act_cnt, sigma,
             w = w + d.T.astype(v.dtype)
             niters = niters + info.niters
         rfin = (rhs - shifted(w)) * fmask[None, :]
-        final_res = jnp.sqrt(jnp.einsum("nm,nm->m", rfin, rfin))
+        final_res = jnp.sqrt(col_dots(rfin, rfin))
     elif cg_order == 2:
         half = max(bs // 2, 1)
         hmask = colmask & (jnp.arange(bs) < half)
@@ -336,7 +323,7 @@ def _compute_w(a_op, b_op, v, ritz, ss_eval, act_idx, act_cnt, sigma,
 
 @partial(jax.jit, static_argnames=("size_x", "bs", "rr_backend"))
 def _rayleigh_ritz(a_op, v, h_pp, ss_eval, p_cnt, w_cnt, size_x: int, bs: int,
-                   rr_backend: str = "device"):
+                   rr_backend: str = "auto"):
     """Assemble the projected matrix and solve the small eigenproblem.
 
     Reference ``ComputeRayleighRitz`` (``ops_eig_sol_gcg.c:925-1252``):
@@ -348,7 +335,7 @@ def _rayleigh_ritz(a_op, v, h_pp, ss_eval, p_cnt, w_cnt, size_x: int, bs: int,
     m = size_x + 2 * bs
     wblk = v[:, size_x + bs:]
     aw = a_op.matvec(wblk)
-    h_vw = v.T @ aw                                     # (m, bs)
+    h_vw = gram(v, aw)                                  # (m, bs)
     wmask = (jnp.arange(bs) < w_cnt).astype(v.dtype)
     h_vw = h_vw * wmask[None, :]
 
@@ -463,7 +450,7 @@ def _gcg_chunk(a_op, b_op, v, ritz, ss_eval, ss_evec, h,
                passes: int, cg_order: int, linear_solver,
                max_steps: int, tol_abs: float, tol_rel: float,
                gap_min: float, auto_shift: bool, shift: float,
-               rr_backend: str = "device", mixed: bool = False,
+               rr_backend: str = "auto", mixed: bool = False,
                refine: int = 2):
     """Run up to ``max_steps`` full GCG iterations on device; exits early when
     ``nev_conv >= nev_target`` or the subspace stagnates (P and W deflated)."""

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sps
 
+from gcge_tpu.ops.multivec import col_dots
 from gcge_tpu.ops.operators import SparseOperator, make_operator
 from gcge_tpu.solvers.bpcg import BlockPCGParams, block_pcg
 
@@ -214,7 +215,7 @@ def bamg_solve(
     """
     a_op = hier.levels[level].a_op
     x = jnp.zeros_like(b) if x0 is None else x0
-    nb = jnp.sqrt(jnp.einsum("nm,nm->m", b, b))
+    nb = jnp.sqrt(col_dots(b, b))
     nb = jnp.maximum(nb, 1e-300)
     sub = MGHierarchy(levels=hier.levels[level:])
     si = tuple(smooth_iters)
@@ -223,7 +224,7 @@ def bamg_solve(
     def cycle_and_residual(b, x):
         x = _vcycle(sub, 0, b, x, si, coarse_iters, rate, tol)
         r = b - a_op.matvec(x)
-        rel = jnp.sqrt(jnp.einsum("nm,nm->m", r, r)) / nb
+        rel = jnp.sqrt(col_dots(r, r)) / nb
         return x, rel
 
     it = 0

@@ -24,6 +24,23 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from gcge_tpu.ops.multivec import col_dots, gram
+
+
+def _rel_floor(dtype) -> float:
+    """Gram-eigenvalue relative deflation floor.
+
+    Eigenvalues below the Gram computation's noise floor are rounding
+    artifacts; normalizing them by ``1/sqrt(w)`` injects garbage directions
+    into the basis.  On TPU the emulated-f64 chunked Gram is accurate to
+    ~1e-13..1e-12 relative, so the floor sits above that; on true-f64
+    backends 64*eps suffices (the reference uses 20*eps/50*eps tolerances,
+    ``ops_orth.c:401-404``)."""
+    eps = float(jnp.finfo(dtype).eps)
+    if jax.default_backend() == "tpu" and jnp.dtype(dtype) == jnp.float64:
+        return 1e-11
+    return 64.0 * eps
+
 
 def orth_against(x, q, b_matvec=None, passes: int = 2):
     """Remove the B-projection of ``x`` onto the B-orthonormal block ``q``.
@@ -36,7 +53,7 @@ def orth_against(x, q, b_matvec=None, passes: int = 2):
     """
     for _ in range(passes):
         bx = x if b_matvec is None else b_matvec(x)
-        coef = q.T @ bx
+        coef = gram(q, bx)
         x = x - q @ coef
     return x
 
@@ -70,22 +87,48 @@ def orth_block(
     """
     m = x.shape[1]
     rank = jnp.int32(m)
+    floor = _rel_floor(x.dtype)
     for i in range(passes):
         bx = x if b_matvec is None else b_matvec(x)
-        g = x.T @ bx
+        g = gram(x, bx)
         g = 0.5 * (g + g.T)
         w, u = jnp.linalg.eigh(g)
         w = w[::-1]
         u = u[:, ::-1]
+        w_max = jnp.maximum(w[0], jnp.asarray(1e-300, x.dtype))
         if ref_scale2 is None and i == 0:
-            ref_scale2 = jnp.maximum(w[0], jnp.asarray(1e-300, x.dtype))
+            ref_scale2 = w_max
         thresh = (zero_tol * zero_tol) * ref_scale2 if i == 0 else \
             jnp.asarray(zero_tol, x.dtype)
+        # Gram eigenvalues below the Gram/eigh noise floor are
+        # indistinguishable from rounding noise: normalizing them by
+        # 1/sqrt(w) would inject garbage directions into the basis (GCG's W
+        # block near convergence is exactly this regime).  The relative floor
+        # also caps the accepted sub-block's condition number, which is what
+        # makes the second EVP pass reach floor-level orthogonality (CholQR2
+        # analysis).
+        thresh = jnp.maximum(thresh, floor * w_max)
         valid = w > thresh
         scale = jnp.where(valid, jax.lax.rsqrt(jnp.where(valid, w, 1.0)), 0.0)
         x = x @ (u * scale[None, :])
         rank = jnp.minimum(rank, jnp.sum(valid).astype(jnp.int32))
-    return x, rank
+    return _ns_polish(x, b_matvec), rank
+
+
+def _ns_polish(x, b_matvec=None):
+    """One Newton-Schulz step ``x <- x (3I - x^T B x)/2``.
+
+    The EVP recombination above inherits the device eigh's backtransform
+    error (f32-level on TPU, see ``gcge_tpu.ops.eighs``), leaving
+    ``x^T B x = I + d`` with ``||d|| ~ 1e-7``.  One NS step — a single
+    accurate Gram plus one tall GEMM — contracts that quadratically to
+    ``O(||d||^2) ~ 1e-14``.  Deflated (zero) columns have zero Gram
+    rows/columns, so their NS update is ``1.5 * 0 = 0``: compaction is
+    preserved exactly."""
+    bx = x if b_matvec is None else b_matvec(x)
+    g = gram(x, bx)
+    m = x.shape[1]
+    return x @ (1.5 * jnp.eye(m, dtype=x.dtype) - 0.5 * g)
 
 
 def orth_block_against(
@@ -107,7 +150,7 @@ def orth_block_against(
     """
     if ref_scale2 is None:
         bx = x if b_matvec is None else b_matvec(x)
-        d = jnp.einsum("nm,nm->m", x, bx)
+        d = col_dots(x, bx)
         ref_scale2 = jnp.maximum(jnp.max(d), jnp.asarray(1e-300, x.dtype))
     rank = jnp.int32(x.shape[1])
     for i in range(passes):

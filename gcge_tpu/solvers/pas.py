@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gcge_tpu.ops.multivec import col_dots, gram
 from gcge_tpu.ops.operators import LinearOperator
 from gcge_tpu.solvers.gcg import GCGParams, gcg_solve
 from gcge_tpu.solvers.multigrid import MGHierarchy, bamg_solve
@@ -161,7 +162,7 @@ def pas_solve(
                 # finest level: stop sweeping once the wanted residuals meet tol
                 bx = x if b_op is None else b_op.matvec(x)
                 r = a_op.matvec(x) - bx * lam[None, :]
-                rel = np.asarray(jnp.sqrt(jnp.einsum("nm,nm->m", r, r))) / \
+                rel = np.asarray(jnp.sqrt(col_dots(r, r))) / \
                     np.maximum(np.abs(np.asarray(lam)), 1e-300)
                 if (rel[:nev_out] < tol_rel).all():
                     break
@@ -172,7 +173,7 @@ def pas_solve(
     # convergence check on the finest level (ref :620-637)
     bx = x if lvls[0].b_op is None else lvls[0].b_op.matvec(x)
     r = lvls[0].a_op.matvec(x) - bx * lam[None, :]
-    res_norm = jnp.sqrt(jnp.einsum("nm,nm->m", r, r))
+    res_norm = jnp.sqrt(col_dots(r, r))
     rel = np.asarray(res_norm) / np.maximum(np.abs(np.asarray(lam)), 1e-300)
     nev_conv = int(np.sum(np.cumprod(rel[:nev_out] < tol_rel)))
     return PASResult(
