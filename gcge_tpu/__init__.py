@@ -29,9 +29,11 @@ from gcge_tpu.ops.operators import (
     ShiftedOperator,
     SparseOperator,
 )
+from gcge_tpu.api import solve
+from gcge_tpu.ops.operators import DiaOperator, make_operator
 from gcge_tpu.solvers.gcg import GCGParams, GCGResult, gcg_solve
-from gcge_tpu.solvers.bpcg import BlockPCGParams, block_pcg
-from gcge_tpu.solvers.orth import orth_block, orth_against
+from gcge_tpu.solvers.bpcg import BlockPCGParams, block_pcg, pcg
+from gcge_tpu.solvers.orth import bgs_orth, orth_block, orth_against
 
 __version__ = "0.1.0"
 
@@ -39,14 +41,19 @@ __all__ = [
     "LinearOperator",
     "DenseOperator",
     "DiagOperator",
+    "DiaOperator",
     "IdentityOperator",
     "ShiftedOperator",
     "SparseOperator",
+    "make_operator",
     "GCGParams",
     "GCGResult",
     "gcg_solve",
+    "solve",
     "BlockPCGParams",
     "block_pcg",
+    "pcg",
+    "bgs_orth",
     "orth_block",
     "orth_against",
 ]

@@ -1,0 +1,131 @@
+"""One-call eigensolver frontend.
+
+The reference's MATLAB mex frontend (``/root/reference/app/app_matlab.c:38-223``)
+wraps the whole pipeline in a single call: ``(eval, evec, nevConv) =
+gcge(A, B, nev, tols, nevMax, blockSize, nevInit, numIterMax, gapMin)`` over a
+MATLAB sparse matrix.  :func:`solve` is that entry point for the Python
+ecosystem: it accepts scipy sparse / dense numpy / prebuilt operators, picks
+the best TPU layout (DIA when the pattern is banded — optionally after RCM
+reordering — ELL otherwise), optionally distributes over all devices, runs
+GCG and returns ``(eval, evec, nev_conv)`` in the original row order.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+
+
+def _as_operator(mat, dtype, rcm: bool, perm=None):
+    """Coerce a user matrix to a device operator (host-side packing)."""
+    import jax.numpy as jnp
+
+    from gcge_tpu.ops.operators import (
+        DenseOperator,
+        DiagOperator,
+        DiaOperator,
+        LinearOperator,
+        SparseOperator,
+        make_operator,
+    )
+
+    if mat is None or isinstance(mat, LinearOperator):
+        return mat, perm
+    try:
+        import scipy.sparse as sps
+
+        is_sparse = sps.issparse(mat)
+    except Exception:  # pragma: no cover - scipy is baked into the image
+        is_sparse = False
+    if is_sparse:
+        coo = mat.tocoo()
+        rows, cols, vals = coo.row, coo.col, coo.data
+        if perm is not None:
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(len(perm))
+            rows, cols = inv[rows], inv[cols]
+        return make_operator(rows, cols, vals, coo.shape, dtype=jnp.dtype(dtype)), perm
+    arr = np.asarray(mat)
+    if arr.ndim == 1:
+        d = arr[perm] if perm is not None else arr
+        return DiagOperator(jnp.asarray(d, dtype)), perm
+    if perm is not None:
+        arr = arr[np.ix_(perm, perm)]
+    return DenseOperator(jnp.asarray(arr, dtype)), perm
+
+
+def solve(
+    a,
+    b=None,
+    nev: int = 30,
+    *,
+    rcm: bool = False,
+    distribute: bool = False,
+    x0=None,
+    params=None,
+    **kwargs: Any,
+):
+    """Compute the ``nev`` smallest eigenpairs of ``A x = lambda B x``.
+
+    Parameters
+    ----------
+    a, b : scipy sparse matrix, dense ndarray, 1-D ndarray (diagonal), a
+        :class:`~gcge_tpu.ops.operators.LinearOperator`, or ``None`` for B=I.
+    nev : number of wanted eigenpairs (mex arg ``nev``).
+    rcm : reverse-Cuthill-McKee reorder first (native toolkit) — concentrates
+        irregular patterns onto few diagonals so the gather-free DIA kernel
+        applies; eigenvectors are returned in the ORIGINAL ordering.
+    distribute : row-shard over all visible devices (``jax.sharding.Mesh``).
+    params : a prebuilt :class:`~gcge_tpu.solvers.gcg.GCGParams`; otherwise one
+        is assembled from ``nev`` and ``**kwargs`` (e.g. ``block_size=...,
+        tol_rel=..., max_iter=...`` — the mex argument list).
+
+    Returns ``(eval, evec, nev_conv)`` — numpy eigenvalues (ascending), the
+    Ritz vectors as a device array ``(n, nev)``, and the converged count.
+    """
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from gcge_tpu.solvers.gcg import GCGParams, gcg_solve
+
+    if params is None:
+        params = GCGParams(nev=nev, **kwargs)
+    dtype = params.dtype
+
+    perm = None
+    if rcm:
+        try:
+            import scipy.sparse as sps
+            from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+            if sps.issparse(a):
+                perm = np.asarray(reverse_cuthill_mckee(a.tocsr(), symmetric_mode=True))
+        except Exception:
+            perm = None
+
+    a_op, perm = _as_operator(a, dtype, rcm, perm)
+    b_op, _ = _as_operator(b, dtype, rcm, perm)
+
+    mesh = None
+    if distribute:
+        from gcge_tpu.parallel import pad_problem, row_mesh, shard_operator
+
+        n_dev = len(jax.devices())
+        if n_dev > 1:
+            mesh = row_mesh(n_dev)
+            n_orig = a_op.shape[0]
+            a_op, b_op, _ = pad_problem(a_op, b_op, n_dev)
+            a_op = shard_operator(a_op, mesh)
+            b_op = shard_operator(b_op, mesh) if b_op is not None else None
+
+    res = gcg_solve(a_op, b_op, params, x0=x0, mesh=mesh)
+    evec = res.evec
+    n = a.shape[0] if hasattr(a, "shape") else evec.shape[0]
+    evec = evec[:n]
+    if perm is not None:
+        inv = jnp.asarray(perm)
+        evec = jnp.zeros_like(evec).at[inv].set(evec)
+    return res.eval[: params.resolved(n).nev], evec, res.nev_conv

@@ -185,6 +185,12 @@ def shard_operator(op: LinearOperator, mesh: Mesh) -> LinearOperator:
         inner = SparseOperator(
             shard_rows(mesh, op.values), shard_rows(mesh, op.indices), op.n_cols
         )
+    elif isinstance(op, DiaOperator):
+        # DIA stores values as (ndiag, n): the row axis is axis 1
+        vals = jax.device_put(
+            op.values, NamedSharding(mesh, P(None, ROWS))
+        )
+        inner = DiaOperator(vals, op.offsets, op.n_cols)
     elif isinstance(op, DenseOperator):
         inner = DenseOperator(shard_rows(mesh, op.a))
     elif isinstance(op, DiagOperator):

@@ -53,7 +53,7 @@ def pad_problem(a_op, b_op, n_devices: int, pad_value: float | None = None):
     Works on :class:`~gcge_tpu.ops.operators.SparseOperator` and
     ``DiagOperator``/``None``.
     """
-    from gcge_tpu.ops.operators import DiagOperator, SparseOperator
+    from gcge_tpu.ops.operators import DiagOperator, DiaOperator, SparseOperator
 
     n = a_op.shape[0]
     n_pad = (-n) % n_devices
@@ -61,10 +61,23 @@ def pad_problem(a_op, b_op, n_devices: int, pad_value: float | None = None):
         return a_op, b_op, n
     if pad_value is None:
         pad_value = float(jnp.max(jnp.abs(a_op.values)) * n) if isinstance(
-            a_op, SparseOperator
+            a_op, (SparseOperator, DiaOperator)
         ) else 1e12
 
-    if isinstance(a_op, SparseOperator):
+    if isinstance(a_op, DiaOperator):
+        vals = jnp.pad(a_op.values, ((0, 0), (0, n_pad)))
+        offsets = a_op.offsets
+        if 0 in offsets:
+            d0 = offsets.index(0)
+        else:
+            vals = jnp.concatenate(
+                [vals, jnp.zeros((1, n + n_pad), vals.dtype)], axis=0
+            )
+            offsets = offsets + (0,)
+            d0 = len(offsets) - 1
+        vals = vals.at[d0, n:].set(pad_value)
+        a_pad = DiaOperator(vals, offsets, n + n_pad)
+    elif isinstance(a_op, SparseOperator):
         kmax = a_op.values.shape[1]
         pad_vals = jnp.zeros((n_pad, kmax), a_op.values.dtype)
         pad_vals = pad_vals.at[:, 0].set(pad_value)

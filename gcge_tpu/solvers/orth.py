@@ -163,6 +163,54 @@ def orth_block_against(
     return x, rank
 
 
+def bgs_orth(
+    x,
+    b_matvec=None,
+    zero_tol: float = 1e-13,
+    passes: int = 2,
+    leaf: int = 16,
+    ref_scale2=None,
+):
+    """Binary-split B-orthonormalization (reference ``BinaryGramSchmidt`` /
+    ``OrthBinary``, ``ops_orth.c:415-622``): recursively orthonormalize the
+    left half, project it out of the right half, recurse right.
+
+    On TPU the EVP kernel (:func:`orth_block`) is already one fused GEMM +
+    small eigh, so the binary split is not needed for speed at GCG block
+    sizes; it exists for parity and for very wide blocks (hundreds of
+    columns) where the ``m x m`` Gram eigh starts to dominate — the split
+    caps the eigh size at ``leaf`` while keeping all projections as large
+    GEMMs (the same trade the reference makes by picking 'E'VP under 16
+    vectors and blocked MGS above, ``ops_orth.c:577-590``).
+
+    Deflation: dependent columns are zeroed *in place* (not compacted across
+    halves); the returned rank counts surviving columns.
+    """
+    if ref_scale2 is None:
+        # deflation is judged against the ENTRY column scale, as in
+        # orth_block_against: a half-block that projects to roundoff noise
+        # must deflate, not re-normalize against its own noise scale
+        bx = x if b_matvec is None else b_matvec(x)
+        d = col_dots(x, bx)
+        ref_scale2 = jnp.maximum(jnp.max(d), jnp.asarray(1e-30, x.dtype))
+    m = x.shape[1]
+    if m <= leaf:
+        return orth_block(x, b_matvec, zero_tol=zero_tol, passes=passes,
+                          ref_scale2=ref_scale2)
+    half = m // 2
+    left, lrank = bgs_orth(x[:, :half], b_matvec, zero_tol, passes, leaf,
+                           ref_scale2)
+    right = orth_against(x[:, half:], left, b_matvec, passes=passes)
+    right, rrank = bgs_orth(right, b_matvec, zero_tol, passes, leaf,
+                            ref_scale2)
+    # one more projection pass: recombinations inside the right-half orth can
+    # re-grow left components at roundoff scale (the reference's outer
+    # re-orth loop, ops_orth.c:518-622)
+    right = orth_against(right, left, b_matvec, passes=1)
+    right = _ns_polish(right, b_matvec)
+    return jnp.concatenate([left, right], axis=1), lrank + rrank
+
+
 def mgs_orth(x, b_matvec=None, zero_tol: float = 1e-14, reorth: int = 1):
     """Column-wise modified Gram-Schmidt with deflation (test oracle).
 

@@ -1,0 +1,102 @@
+"""One-call frontend (mex analogue) + BGS orthogonalizer + meminfo tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sps
+
+import gcge_tpu
+from tests.conftest import laplacian_1d, laplacian_1d_eigs
+
+
+def _lap_coo(n):
+    a, h = laplacian_1d(n)
+    rows, cols = np.nonzero(a)
+    return sps.coo_matrix((a[rows, cols], (rows, cols)), shape=(n, n)), h
+
+
+def test_solve_scipy_standard():
+    n = 300
+    a, _ = _lap_coo(n)
+    ev, vec, nconv = gcge_tpu.solve(a, nev=5, max_iter=100, verbose=0)
+    assert nconv >= 5
+    np.testing.assert_allclose(ev[:5], laplacian_1d_eigs(n)[:5], rtol=1e-7)
+    # residual through scipy
+    r = a.tocsr() @ np.asarray(vec)[:, :5] - np.asarray(vec)[:, :5] * ev[:5]
+    assert (np.linalg.norm(r, axis=0) / np.abs(ev[:5])).max() < 1e-7
+
+
+def test_solve_generalized_diag_mass():
+    n = 300
+    a, h = _lap_coo(n)
+    b = np.full(n, h)  # 1-D diagonal -> DiagOperator
+    ev, vec, nconv = gcge_tpu.solve(a, b, nev=4, max_iter=100, verbose=0)
+    assert nconv >= 4
+    np.testing.assert_allclose(ev[:4], laplacian_1d_eigs(n)[:4] / h, rtol=1e-7)
+
+
+def test_solve_rcm_restores_order():
+    """A randomly permuted banded matrix: RCM re-bands it (DIA layout), and
+    eigenvectors must come back in the caller's ordering."""
+    n = 256
+    a, _ = _lap_coo(n)
+    rng = np.random.default_rng(3)
+    p = rng.permutation(n)
+    ps = sps.coo_matrix((np.ones(n), (np.arange(n), p)), shape=(n, n)).tocsr()
+    a_perm = (ps @ a.tocsr() @ ps.T).tocoo()
+    ev, vec, nconv = gcge_tpu.solve(a_perm, nev=3, rcm=True, max_iter=100,
+                                    verbose=0)
+    assert nconv >= 3
+    np.testing.assert_allclose(ev[:3], laplacian_1d_eigs(n)[:3], rtol=1e-7)
+    r = a_perm.tocsr() @ np.asarray(vec)[:, :3] - np.asarray(vec)[:, :3] * ev[:3]
+    assert (np.linalg.norm(r, axis=0) / np.abs(ev[:3])).max() < 1e-7
+
+
+def test_bgs_orth_matches_evp(rng):
+    from gcge_tpu.solvers.orth import bgs_orth
+
+    x = jnp.asarray(rng.standard_normal((500, 40)))
+    q, rank = bgs_orth(x, leaf=8)
+    assert int(rank) == 40
+    g = np.asarray(q.T @ q)
+    np.testing.assert_allclose(g, np.eye(40), atol=1e-12)
+
+
+def test_bgs_orth_rank_deficient(rng):
+    from gcge_tpu.solvers.orth import bgs_orth
+
+    x = rng.standard_normal((300, 12))
+    x[:, 6:] = x[:, :6]  # duplicate half the columns
+    q, rank = bgs_orth(jnp.asarray(x), leaf=4)
+    assert int(rank) == 6
+    qn = np.asarray(q)
+    nz = [j for j in range(12) if np.linalg.norm(qn[:, j]) > 1e-8]
+    g = qn[:, nz].T @ qn[:, nz]
+    np.testing.assert_allclose(g, np.eye(len(nz)), atol=1e-10)
+
+
+def test_meminfo_snapshot():
+    from gcge_tpu.utils.meminfo import MemWatch, snapshot, workspace_bytes
+
+    s = snapshot()
+    assert s.num_live_arrays >= 0
+    assert workspace_bytes(1000, 10) > 0
+    lines = []
+    with MemWatch("probe", printer=lines.append):
+        keep = jnp.ones((256, 256))
+        keep.block_until_ready()
+    assert lines and "memwatch" in lines[0]
+
+
+def test_eigh_jacobi_cpu():
+    """Jacobi-polished eigh matches LAPACK on CPU too."""
+    from gcge_tpu.ops.eighs import eigh_jacobi
+
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((33, 33))
+    a = a + a.T
+    w, u = eigh_jacobi(jnp.asarray(a))
+    np.testing.assert_allclose(np.asarray(w), np.linalg.eigvalsh(a), atol=1e-11)
+    un = np.asarray(u)
+    np.testing.assert_allclose(un.T @ un, np.eye(33), atol=1e-12)
+    assert np.abs(a @ un - un * np.asarray(w)[None, :]).max() < 1e-10
