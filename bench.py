@@ -1,28 +1,36 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Headline metric (BASELINE.md): SpMM nnz/s per chip on a SiO2-scale symmetric
-sparse operator.  SiO2 itself (SuiteSparse n=155,331, nnz=11.3M) is not
-fetchable in this zero-egress image, so the stand-in is a 3D 27-point
-Laplacian on a 54^3 grid (n=157,464, nnz~4.2M, FEM-like sparsity) — same
-row-density regime as the reference's benchmark family
-(``/root/reference/test/submit.sh:9-15``).
+Headline metric (BASELINE.md north star): wall-clock to 50 eigenpairs at
+rel-residual 1e-8 on a SiO2-scale symmetric operator, one TPU chip, vs the
+MEASURED reference.  SiO2 itself (SuiteSparse, n=155,331, nnz≈11.3M) is not
+fetchable in this zero-egress image; the stand-in is a 3D 27-point Laplacian
+on a 54^3 grid (n=157,464, nnz≈4.1M) — the same row-density regime as the
+reference's benchmark family (``/root/reference/test/submit.sh:9-15``).
 
-``vs_baseline`` is measured, not cited: the same SpMM through scipy.sparse on
-this host's CPU stands in for one MPI-reference rank (the reference is
-BLAS/MKL CSR on CPU), so the ratio is TPU-chip vs CPU-socket nnz/s.
+``vs_baseline`` is measured, not cited: ``native/ref_bench`` runs the
+UNMODIFIED reference C library (GCG + CCS backend, netlib BLAS, serial — the
+1-rank configuration of its rig) on the identical operator and production
+parameters on this host.  The measurement is cached in
+``BASELINE_MEASURED.json`` (it is a CPU-only number; re-run
+``native/ref_bench -nx 54 -nev 50`` to refresh).  Both solvers converge in
+the same ~60 iterations and agree on the eigenvalues to 11 digits, so the
+ratio is a clean time-to-solution comparison.
 
-Also reported on stderr: f32 SpMM nnz/s and the per-iteration wall time of a
-full GCG step (nev=50 block solve) on the same operator.
+Also reported on stderr: the SpMM kernel sweep (nnz/s per layout/precision,
+with the scipy-CSR CPU rate for context).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def log(*a):
@@ -52,101 +60,139 @@ def build_3d27(nx: int):
     )
 
 
+def reference_baseline(nx: int, nev: int) -> dict | None:
+    """Measured reference wall time: cached json, else run native/ref_bench."""
+    cache = os.path.join(REPO, "BASELINE_MEASURED.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            meta = json.load(f)
+        if f"nx={nx}" in meta.get("problem", "") and f"nev={nev}" in meta.get(
+            "parameters", ""
+        ):
+            return meta
+    binary = os.path.join(REPO, "native", "ref_bench")
+    try:
+        if not os.path.exists(binary):
+            subprocess.run(["make", "-s", "ref_bench"],
+                           cwd=os.path.join(REPO, "native"), check=True,
+                           capture_output=True, timeout=300)
+        out = subprocess.run(
+            [binary, "-nx", str(nx), "-nev", str(nev)],
+            capture_output=True, text=True, timeout=3000, check=True,
+        ).stdout
+        for line in out.splitlines():
+            if line.startswith("REF_BASELINE"):
+                kv = dict(p.split("=") for p in line.split()[1:])
+                return {"wall_s": float(kv["wall_s"]),
+                        "num_iter": int(kv["numIter"]),
+                        "nev_conv": int(kv["nevConv"])}
+    except Exception as e:
+        log(f"reference baseline unavailable: {e}")
+    return None
+
+
+def spmm_sweep(rows, cols, vals, n, nnz, bs, x_np):
+    """Per-kernel SpMM throughput (stderr, informational)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gcge_tpu.ops.operators import DiaOperator, SparseOperator
+    from gcge_tpu.ops.spmm_pallas import dia_spmm_pallas_t
+
+    def chain_time(matvec, x, k=50):
+        def body(i, y):
+            return matvec(y) * 0.001
+        g = jax.jit(lambda xx: jax.lax.fori_loop(0, k, body, xx))
+        g(x).block_until_ready()
+        t0 = time.perf_counter()
+        g(x).block_until_ready()
+        return (time.perf_counter() - t0) / k
+
+    results = {}
+    for dt in ("float64", "float32"):
+        x = jnp.asarray(x_np, dtype=dt)
+        dia = DiaOperator.from_coo(rows, cols, vals, (n, n), dtype=jnp.dtype(dt))
+        t = chain_time(dia.matvec, x)
+        results[f"dia_{dt}"] = nnz * bs / t
+        log(f"  DIA  {dt}: {t*1e3:.3f} ms -> {results[f'dia_{dt}']/1e9:.2f} Gnnz/s")
+    x32 = jnp.asarray(x_np, jnp.float32)
+    ell = SparseOperator.from_coo(rows, cols, vals, (n, n), dtype=jnp.float32)
+    t = chain_time(ell.matvec, x32)
+    results["ell_float32"] = nnz * bs / t
+    log(f"  ELL  float32: {t*1e3:.3f} ms -> {results['ell_float32']/1e9:.2f} Gnnz/s")
+    dia32 = DiaOperator.from_coo(rows, cols, vals, (n, n), dtype=jnp.float32)
+    xt = jnp.asarray(x_np.T.copy(), jnp.float32)
+    t = chain_time(lambda y: dia_spmm_pallas_t(dia32.values, dia32.offsets, y,
+                                               interpret=False), xt)
+    results["pallas_dia_f32"] = nnz * bs / t
+    log(f"  Pallas DIA f32 (transposed): {t*1e3:.3f} ms -> "
+        f"{results['pallas_dia_f32']/1e9:.2f} Gnnz/s")
+    return results
+
+
 def main():
-    nx = 54
-    bs = 10
-    reps = 20
+    nx, nev, bs = 54, 50, 10
 
     log(f"building 3D 27-point Laplacian nx={nx} ...")
     rows, cols, vals, n = build_3d27(nx)
     nnz = len(vals)
     log(f"n={n} nnz={nnz}")
 
-    # ---- CPU baseline (scipy CSR SpMM = one MPI-reference rank) ----------
+    # ---- scipy CPU SpMM rate (context) -----------------------------------
     import scipy.sparse as sps
 
     a_csr = sps.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
     x_np = np.random.default_rng(0).standard_normal((n, bs))
-    a_csr @ x_np  # warm
+    a_csr @ x_np
     t0 = time.perf_counter()
-    cpu_reps = 5
-    for _ in range(cpu_reps):
-        y = a_csr @ x_np
-    cpu_dt = (time.perf_counter() - t0) / cpu_reps
-    cpu_nnzs = nnz * bs / cpu_dt
-    log(f"CPU scipy CSR SpMM (f64, bs={bs}): {cpu_dt*1e3:.2f} ms -> {cpu_nnzs/1e9:.3f} Gnnz/s")
+    for _ in range(5):
+        a_csr @ x_np
+    cpu_dt = (time.perf_counter() - t0) / 5
+    log(f"CPU scipy CSR SpMM (f64, bs={bs}): {cpu_dt*1e3:.2f} ms -> "
+        f"{nnz * bs / cpu_dt / 1e9:.3f} Gnnz/s")
 
-    # ---- TPU ---------------------------------------------------------------
+    # ---- measured reference baseline -------------------------------------
+    ref = reference_baseline(nx, nev)
+    if ref:
+        log(f"reference GCG baseline (1 CPU core, serial C library): "
+            f"{ref['wall_s']:.1f}s, {ref['num_iter']} iters, "
+            f"nevConv={ref['nev_conv']}")
+
+    # ---- TPU --------------------------------------------------------------
     import jax
 
     jax.config.update("jax_enable_x64", True)
-    import jax.numpy as jnp
+    # persistent compile cache (the env var alone is not honored on this
+    # runtime): repeat bench runs skip the ~60s fused-loop compile
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from gcge_tpu.ops.operators import DiaOperator, SparseOperator
-    from gcge_tpu.ops.spmm_pallas import dia_spmm_pallas_t
+    from gcge_tpu.ops.operators import DiaOperator
+    from gcge_tpu.solvers.gcg import GCGParams, gcg_solve
 
-    dev = jax.devices()[0]
-    log(f"device: {dev}")
+    log(f"device: {jax.devices()[0]}")
 
-    def chain_time(matvec, x, k=50):
-        """Time k chained matvecs in ONE jitted program — isolates kernel
-        throughput from the per-dispatch latency of the device tunnel."""
-        def body(i, y):
-            return matvec(y) * 0.001  # keep magnitudes bounded
-        g = jax.jit(lambda xx: jax.lax.fori_loop(0, k, body, xx))
-        t0 = time.perf_counter()
-        g(x).block_until_ready()
-        compile_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        g(x).block_until_ready()
-        return (time.perf_counter() - t0) / k, compile_s
+    spmm = spmm_sweep(rows, cols, vals, n, nnz, bs, x_np)
 
-    results = {}
-    # general-path ELL (gather SpMM) and fast-path DIA, f64 and f32
-    for dt in ("float64", "float32"):
-        x = jnp.asarray(x_np, dtype=dt)
-        ell = SparseOperator.from_coo(rows, cols, vals, (n, n), dtype=jnp.dtype(dt))
-        t, c = chain_time(ell.matvec, x)
-        results[f"ell_{dt}"] = nnz * bs / t
-        log(f"  ELL  {dt}: {t*1e3:.3f} ms -> {results[f'ell_{dt}']/1e9:.2f} Gnnz/s (compile {c:.0f}s)")
-        dia = DiaOperator.from_coo(rows, cols, vals, (n, n), dtype=jnp.dtype(dt))
-        t, c = chain_time(dia.matvec, x)
-        results[f"dia_{dt}"] = nnz * bs / t
-        log(f"  DIA  {dt}: {t*1e3:.3f} ms -> {results[f'dia_{dt}']/1e9:.2f} Gnnz/s (compile {c:.0f}s)")
+    # ---- headline: GCG wall-clock to nev eigenpairs at rel 1e-8 -----------
+    dia64 = DiaOperator.from_coo(rows, cols, vals, (n, n))
+    params = GCGParams(nev=nev, block_size=bs, max_iter=120, verbose=0,
+                       cg_max_iter=30, fuse=20, cg_mixed=True,
+                       cg_auto_shift=True)
+    t0 = time.perf_counter()
+    res = gcg_solve(dia64, None, params)
+    wall = time.perf_counter() - t0
+    log(f"TPU GCG nev={nev}: {wall:.1f}s, {res.num_iter} iters, "
+        f"nev_conv={res.nev_conv} (incl. compile)")
 
-    # Pallas DIA kernel, f32, transposed layout (the hot-loop layout)
-    dia32 = DiaOperator.from_coo(rows, cols, vals, (n, n), dtype=jnp.float32)
-    xt = jnp.asarray(x_np.T.copy(), jnp.float32)
-    t, c = chain_time(
-        lambda y: dia_spmm_pallas_t(dia32.values, dia32.offsets, y, interpret=False),
-        xt,
-    )
-    results["pallas_dia_f32"] = nnz * bs / t
-    log(f"  Pallas DIA f32 (transposed): {t*1e3:.3f} ms -> "
-        f"{results['pallas_dia_f32']/1e9:.2f} Gnnz/s (compile {c:.0f}s)")
-
-    # ---- GCG iteration wall time (stderr, informational) -------------------
-    try:
-        from gcge_tpu.solvers.gcg import GCGParams, gcg_solve
-
-        dia64 = DiaOperator.from_coo(rows, cols, vals, (n, n))
-        params = GCGParams(nev=50, block_size=10, max_iter=60, verbose=0,
-                           cg_max_iter=30, fuse=15, cg_mixed=True)
-        t0 = time.perf_counter()
-        res = gcg_solve(dia64, None, params)
-        total = time.perf_counter() - t0
-        log(f"  GCG nev=50 wall: {total:.1f}s, {res.num_iter} iters, "
-            f"nev_conv={res.nev_conv} "
-            f"({total/max(res.num_iter,1):.2f}s/iter incl. compile)")
-    except Exception as e:  # never let the headline metric die on this
-        log(f"  GCG timing skipped: {e}")
-
-    value = results["dia_float64"]
+    converged = res.nev_conv >= nev
+    vs = (ref["wall_s"] / wall) if (ref and converged) else 0.0
     print(json.dumps({
-        "metric": "spmm_nnz_per_s_per_chip_f64",
-        "value": value,
-        "unit": "nnz/s",
-        "vs_baseline": value / cpu_nnzs,
+        "metric": "gcg_wall_s_50pairs_rel1e-8_157k",
+        "value": wall,
+        "unit": "s",
+        "vs_baseline": vs,
     }))
 
 

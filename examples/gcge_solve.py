@@ -16,10 +16,14 @@ With no ``-filename_matA`` a built-in 3D FEM Laplacian/mass pair is assembled
 (``-fem_nx`` controls size) — the cube4.dat test configuration.
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+# allow running straight from a checkout: python examples/gcge_solve.py ...
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def get_flag(argv, name, default=None, conv=str):

@@ -29,6 +29,7 @@ from gcge_tpu.ops.operators import (
     DenseOperator,
     DiaOperator,
     DiagOperator,
+    HybridOperator,
     IdentityOperator,
     LinearOperator,
     SparseOperator,
@@ -83,6 +84,14 @@ class RowShardedOperator(LinearOperator):
 
         if isinstance(inner, DiaOperator):
             return self._dia_matvec(x)
+
+        if isinstance(inner, HybridOperator):
+            # banded core rides the neighbor-halo path; the thin outlier ELL
+            # all-gathers (its columns are arbitrary by construction)
+            y = RowShardedOperator(inner.dia, self.mesh).matvec(x)
+            if inner.ell is not None:
+                y = y + RowShardedOperator(inner.ell, self.mesh).matvec(x)
+            return y
 
         if isinstance(inner, DenseOperator):
 
@@ -191,6 +200,11 @@ def shard_operator(op: LinearOperator, mesh: Mesh) -> LinearOperator:
             op.values, NamedSharding(mesh, P(None, ROWS))
         )
         inner = DiaOperator(vals, op.offsets, op.n_cols)
+    elif isinstance(op, HybridOperator):
+        inner = HybridOperator(
+            shard_operator(op.dia, mesh).inner,
+            None if op.ell is None else shard_operator(op.ell, mesh).inner,
+        )
     elif isinstance(op, DenseOperator):
         inner = DenseOperator(shard_rows(mesh, op.a))
     elif isinstance(op, DiagOperator):

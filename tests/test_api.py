@@ -100,3 +100,52 @@ def test_eigh_jacobi_cpu():
     un = np.asarray(u)
     np.testing.assert_allclose(un.T @ un, np.eye(33), atol=1e-12)
     assert np.abs(a @ un - un * np.asarray(w)[None, :]).max() < 1e-10
+
+
+def test_hybrid_operator_matches_dense(rng):
+    """Banded core + outliers: HybridOperator matvec vs dense ground truth."""
+    from gcge_tpu.ops.operators import HybridOperator, make_operator
+
+    n = 200
+    a = np.zeros((n, n))
+    for off, v in ((0, 4.0), (1, -1.0), (-1, -1.0), (5, -0.3), (-5, -0.3)):
+        idx = np.arange(max(0, -off), min(n, n - off))
+        a[idx, idx + off] = v
+    out = rng.integers(0, n, size=(30, 2))          # scattered outliers
+    for i, j in out:
+        a[i, j] += 0.1
+        a[j, i] += 0.1
+    rows, cols = np.nonzero(a)
+    vals = a[rows, cols]
+    op = HybridOperator.from_coo(rows, cols, vals, (n, n), max_diags=5)
+    assert op.ell is not None
+    x = jnp.asarray(rng.standard_normal((n, 4)))
+    np.testing.assert_allclose(np.asarray(op.matvec(x)), a @ np.asarray(x),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(op.to_dense()), a, atol=1e-14)
+
+
+def test_make_operator_layout_selection(rng):
+    from gcge_tpu.ops.operators import (
+        DiaOperator, HybridOperator, SparseOperator, make_operator,
+    )
+
+    n = 300
+    # pure tridiagonal -> DIA
+    r = np.concatenate([np.arange(n), np.arange(n - 1), np.arange(1, n)])
+    c = np.concatenate([np.arange(n), np.arange(1, n), np.arange(n - 1)])
+    v = np.ones(len(r))
+    assert isinstance(make_operator(r, c, v, (n, n)), DiaOperator)
+    # tridiagonal + many scattered outlier diagonals -> Hybrid
+    oi = rng.integers(0, n - 150, size=40)
+    oj = oi + 10 + np.arange(40) % 140
+    r2 = np.concatenate([r, oi, oj])
+    c2 = np.concatenate([c, oj, oi])
+    v2 = np.ones(len(r2))
+    op = make_operator(r2, c2, v2, (n, n), max_diags=8)
+    assert isinstance(op, HybridOperator)
+    d = np.zeros((n, n))
+    np.add.at(d, (r2, c2), v2)
+    x = rng.standard_normal((n, 3))
+    np.testing.assert_allclose(np.asarray(op.matvec(jnp.asarray(x))), d @ x,
+                               rtol=1e-12)

@@ -156,3 +156,27 @@ def test_distributed_gcg_dia(mesh):
     exact = laplacian_1d_eigs(n)[:6]
     assert res.nev_conv >= 6
     np.testing.assert_allclose(res.eval[:6], exact, rtol=1e-7)
+
+
+def test_sharded_hybrid_matches_local(mesh, rng):
+    """Hybrid (DIA halo + ELL all-gather) distributed matvec."""
+    from gcge_tpu.ops.operators import HybridOperator
+
+    n = 512
+    a, _ = laplacian_1d(n)
+    # add scattered symmetric outliers
+    oi = rng.integers(0, n // 2, size=40)
+    oj = oi + n // 3
+    a[oi, oj] += 0.5
+    a[oj, oi] += 0.5
+    rows, cols = np.nonzero(a)
+    op = HybridOperator.from_coo(rows, cols, a[rows, cols], a.shape,
+                                 max_diags=3)
+    assert op.ell is not None
+    op_d = shard_operator(op, mesh)
+    x = jnp.asarray(rng.standard_normal((n, 4)))
+    np.testing.assert_allclose(
+        np.asarray(op_d.matvec(shard_rows(mesh, x))),
+        np.asarray(op.matvec(x)),
+        rtol=1e-13,
+    )
