@@ -119,7 +119,16 @@ def main(argv):
 
     from gcge_tpu.solvers.gcg import gcg_solve
 
+    # -profile_dir DIR: capture a jax.profiler trace of the solve (the
+    # TPU-era analogue of the reference's TIME_GCG tables — view in
+    # tensorboard / xprof)
+    profile_dir = get_flag(argv, "-profile_dir")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     result = gcg_solve(a_op, b_op, params, mesh=mesh)
+    if profile_dir:
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {profile_dir}")
     print(f"\nconverged {result.nev_conv} eigenpairs in {result.num_iter} iterations")
     for i, lam in enumerate(result.eval[: min(result.nev_conv or params.nev, 50)]):
         print(f"  [{i}] {lam:.14e}")

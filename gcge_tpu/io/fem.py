@@ -73,18 +73,16 @@ def _element_matrices(verts, tets):
     return ke, me
 
 
-def cube_fem_laplacian(nx: int, dtype=np.float64):
-    """Assemble (A, B) in COO over *interior* vertices (Dirichlet BC).
+def assemble_p1(verts, tets, dirichlet_mask, dtype=np.float64):
+    """P1 FEM assembly of (stiffness A, mass B) on an arbitrary tet mesh,
+    eliminating Dirichlet vertices — the general form of the reference's PHG
+    assembly (``/root/reference/test/get_mat_phg.c:29-73``).
 
-    Returns ``(rows, cols, a_vals, b_vals, n)`` with both matrices sharing one
-    sparsity pattern.  The smallest exact eigenvalues of the discrete pencil
-    converge to ``pi^2 (i^2 + j^2 + k^2)``, i,j,k >= 1.
+    Returns ``(rows, cols, a_vals, b_vals, n)`` with both matrices sharing
+    one sparsity pattern over the ``n`` interior (non-Dirichlet) vertices.
     """
-    verts, tets = cube_mesh(nx)
     ke, me = _element_matrices(verts, tets)
-
-    on_bnd = np.any((verts <= 0.0) | (verts >= 1.0 - 1e-12), axis=1)
-    interior = ~on_bnd
+    interior = ~np.asarray(dirichlet_mask, bool)
     new_id = -np.ones(len(verts), dtype=np.int64)
     new_id[interior] = np.arange(interior.sum())
     n = int(interior.sum())
@@ -105,6 +103,60 @@ def cube_fem_laplacian(nx: int, dtype=np.float64):
     a_out = np.add.reduceat(a_vals, start)
     b_out = np.add.reduceat(b_vals, start)
     return uniq // n, uniq % n, a_out, b_out, n
+
+
+def cube_fem_laplacian(nx: int, dtype=np.float64):
+    """Assemble (A, B) in COO over *interior* vertices (Dirichlet BC).
+
+    Returns ``(rows, cols, a_vals, b_vals, n)`` with both matrices sharing one
+    sparsity pattern.  The smallest exact eigenvalues of the discrete pencil
+    converge to ``pi^2 (i^2 + j^2 + k^2)``, i,j,k >= 1.
+    """
+    verts, tets = cube_mesh(nx)
+    on_bnd = np.any((verts <= 0.0) | (verts >= 1.0 - 1e-12), axis=1)
+    return assemble_p1(verts, tets, on_bnd, dtype=dtype)
+
+
+def load_albert_mesh(path: str):
+    """Read an ALBERT/ALBERTA macro-triangulation file (the format of the
+    reference's ``data/cube4.dat``: 125 vertices / 384 tets of the unit
+    cube consumed by PHG, ``/root/reference/test/get_mat_phg.c:135``).
+
+    Returns ``(verts (nv,3), tets (ne,4), dirichlet_mask (nv,))`` where the
+    mask marks vertices on faces with a nonzero boundary code (face i of an
+    element is opposite its vertex i).
+    """
+    with open(path) as f:
+        lines = [ln.strip() for ln in f]
+    nv = ne = None
+    sections = {}
+    i = 0
+    while i < len(lines):
+        ln = lines[i]
+        if ln.startswith("number of vertices:"):
+            nv = int(ln.split(":")[1])
+        elif ln.startswith("number of elements:"):
+            ne = int(ln.split(":")[1])
+        elif ln.endswith(":"):
+            sections[ln[:-1]] = i + 1
+        i += 1
+    assert nv and ne, "missing ALBERT header counts"
+
+    def block(name, count, dtype, ncol):
+        start = sections[name]
+        rows = [lines[start + k].split() for k in range(count)]
+        return np.asarray(rows, dtype=dtype).reshape(count, ncol)
+
+    verts = block("vertex coordinates", nv, np.float64, 3)
+    tets = block("element vertices", ne, np.int64, 4)
+    dirichlet = np.zeros(nv, bool)
+    if "element boundaries" in sections:
+        bnd = block("element boundaries", ne, np.int64, 4)
+        for face in range(4):
+            marked = tets[bnd[:, face] != 0]
+            others = [v for v in range(4) if v != face]
+            dirichlet[marked[:, others].ravel()] = True
+    return verts, tets, dirichlet
 
 
 def cube_exact_eigenvalues(count: int) -> np.ndarray:

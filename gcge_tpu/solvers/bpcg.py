@@ -56,6 +56,7 @@ def block_pcg(
     active0: jax.Array | None = None,
     norm_b: jax.Array | None = None,
     psum_axis: str | None = None,
+    precond=None,
 ):
     """Solve ``op @ x = b`` column-by-column with block CG.
 
@@ -71,6 +72,11 @@ def block_pcg(
         (the reference's user-defined norm path, ``ops_lin_sol.c:186-192``).
     psum_axis: mesh axis name when running inside ``shard_map`` — inner
         products reduce with ``psum`` over it.
+    precond: optional multivector preconditioner ``R -> M^{-1} R`` (must be
+        jit-traceable).  This is the reference's
+        ``user_defined_multi_linear_solver = 2`` mode, where an external
+        solver preconditions the built-in BPCG
+        (``ops_eig_sol_gcg.c:584-618``).
 
     Returns ``(x, BlockPCGInfo)``.
     """
@@ -87,25 +93,30 @@ def block_pcg(
     else:
         nb = jnp.ones((m,), dtype=dtype)
 
+    def apply_m(r):
+        return r if precond is None else precond(r)
+
     r = b - matvec(x0)
     r = jnp.where(active0[None, :], r, 0.0)
-    rho = _col_dots(r, r, psum_axis)
-    init_res = jnp.sqrt(rho)
+    z = apply_m(r)
+    rho = _col_dots(r, z, psum_axis)            # r.z (= r.r unpreconditioned)
+    res2 = rho if precond is None else _col_dots(r, r, psum_axis)
+    init_res = jnp.sqrt(res2)
     active = active0 & (init_res > params.tol * nb)
 
     rate = jnp.asarray(params.rate, dtype)
     tol = jnp.asarray(params.tol, dtype)
 
     def cond(state):
-        niter, x, r, p, rho_prev, rho_cur, active = state
+        niter, x, r, z, p, rho_prev, rho_cur, res, active = state
         return (niter < params.max_iter) & jnp.any(active)
 
     def body(state):
-        niter, x, r, p, rho_prev, rho_cur, active = state
+        niter, x, r, z, p, rho_prev, rho_cur, res, active = state
         beta = jnp.where(
             (niter > 0) & active & (rho_prev > 0), rho_cur / jnp.where(rho_prev > 0, rho_prev, 1.0), 0.0
         )
-        p = jnp.where(active[None, :], r + beta[None, :] * p, 0.0)
+        p = jnp.where(active[None, :], z + beta[None, :] * p, 0.0)
         w = matvec(p)
         ptw = _col_dots(p, w, psum_axis)
         # no positivity guard: GCG's damped operator (A + sigma*B) is
@@ -114,14 +125,16 @@ def block_pcg(
         alpha = jnp.where(active & (ptw != 0), rho_cur / jnp.where(ptw != 0, ptw, 1.0), 0.0)
         x = x + alpha[None, :] * p
         r = r - alpha[None, :] * w
-        rho_next = _col_dots(r, r, psum_axis)
-        res = jnp.sqrt(rho_next)
+        z = apply_m(r)
+        rho_next = _col_dots(r, z, psum_axis)
+        res2 = rho_next if precond is None else _col_dots(r, r, psum_axis)
+        res = jnp.sqrt(res2)
         still = active & (res > rate * init_res) & (res > tol * nb)
-        return (niter + 1, x, r, p, rho_cur, rho_next, still)
+        return (niter + 1, x, r, z, p, rho_cur, rho_next, res, still)
 
-    state0 = (jnp.int32(0), x0, r, jnp.zeros_like(r), rho, rho, active)
-    niter, x, r, p, rho_prev, rho_cur, active = jax.lax.while_loop(cond, body, state0)
-    return x, BlockPCGInfo(niters=niter, final_res=jnp.sqrt(rho_cur), init_res=init_res)
+    state0 = (jnp.int32(0), x0, r, z, jnp.zeros_like(r), rho, rho, init_res, active)
+    niter, x, r, z, p, rho_prev, rho_cur, res, active = jax.lax.while_loop(cond, body, state0)
+    return x, BlockPCGInfo(niters=niter, final_res=res, init_res=init_res)
 
 
 def block_pcg_t(

@@ -91,6 +91,10 @@ class GCGParams:
     # test_eig_sol_gcg.c:94): callable (matvec, rhs, x0, active_mask) -> W.
     # Must be jit-traceable; replaces the built-in block CG when set.
     linear_solver: Any = None
+    # preconditioner for the built-in block CG (reference flag=2: external
+    # solver preconditions BPCG, ops_eig_sol_gcg.c:584-618): callable
+    # R -> M^{-1} R, jit-traceable.
+    linear_precond: Any = None
     # orthogonalization
     orth_zero_tol: float = 1e-13
     orth_passes: int = 2
@@ -225,12 +229,12 @@ def _compute_p(v, ss_evec, h, act_idx, act_cnt, size_x: int, bs: int,
 @partial(
     jax.jit,
     static_argnames=("size_x", "bs", "cg", "zero_tol", "passes", "cg_order",
-                     "linear_solver", "mixed", "refine"),
+                     "linear_solver", "mixed", "refine", "precond"),
 )
 def _compute_w(a_op, b_op, v, ritz, ss_eval, act_idx, act_cnt, sigma,
                size_x: int, bs: int, cg: BlockPCGParams, zero_tol: float,
                passes: int, cg_order: int = 1, linear_solver=None,
-               mixed: bool = False, refine: int = 2):
+               mixed: bool = False, refine: int = 2, precond=None):
     """Inverse-power correction block W.
 
     Reference ``ComputeW`` (``ops_eig_sol_gcg.c:472-695``): for the active
@@ -301,8 +305,10 @@ def _compute_w(a_op, b_op, v, ritz, ss_eval, act_idx, act_cnt, sigma,
     elif cg_order == 2:
         half = max(bs // 2, 1)
         hmask = colmask & (jnp.arange(bs) < half)
-        w1, info1 = block_pcg(shifted, rhs, xact, cg, active0=hmask)
-        w2, info2 = block_pcg(shifted, rhs, w1, cg, active0=hmask)
+        w1, info1 = block_pcg(shifted, rhs, xact, cg, active0=hmask,
+                              precond=precond)
+        w2, info2 = block_pcg(shifted, rhs, w1, cg, active0=hmask,
+                              precond=precond)
         hf = hmask.astype(v.dtype)[None, :]
         w = jnp.concatenate(
             [(w1 * hf)[:, :half], (w2 * hf)[:, :half]], axis=1
@@ -311,7 +317,8 @@ def _compute_w(a_op, b_op, v, ritz, ss_eval, act_idx, act_cnt, sigma,
         niters = info1.niters + info2.niters
         final_res = info2.final_res
     else:
-        w, info = block_pcg(shifted, rhs, xact, cg, active0=colmask)
+        w, info = block_pcg(shifted, rhs, xact, cg, active0=colmask,
+                            precond=precond)
         w = w * fmask[None, :]
         niters, final_res = info.niters, info.final_res
     q = v[:, : size_x + bs]
@@ -442,7 +449,7 @@ def _check_convergence_traced(res, ss_eval, c0, scan_from, nev_conv_prev,
     static_argnames=("size_x", "bs", "cg", "zero_tol", "passes", "cg_order",
                      "linear_solver", "max_steps", "tol_abs", "tol_rel",
                      "gap_min", "auto_shift", "shift", "rr_backend",
-                     "mixed", "refine"),
+                     "mixed", "refine", "precond"),
 )
 def _gcg_chunk(a_op, b_op, v, ritz, ss_eval, ss_evec, h,
                act_idx, act_cnt, nev_conv, num_iter, nev_target,
@@ -451,7 +458,7 @@ def _gcg_chunk(a_op, b_op, v, ritz, ss_eval, ss_evec, h,
                max_steps: int, tol_abs: float, tol_rel: float,
                gap_min: float, auto_shift: bool, shift: float,
                rr_backend: str = "auto", mixed: bool = False,
-               refine: int = 2):
+               refine: int = 2, precond=None):
     """Run up to ``max_steps`` full GCG iterations on device; exits early when
     ``nev_conv >= nev_target`` or the subspace stagnates (P and W deflated)."""
     m = size_x + 2 * bs
@@ -500,7 +507,7 @@ def _gcg_chunk(a_op, b_op, v, ritz, ss_eval, ss_evec, h,
         v, w_cnt, cg_iters, cg_res = _compute_w(
             a_op, b_op, v, ritz, ss_eval, act_new, cnt_new, sigma,
             size_x, bs, cg, zero_tol, passes, cg_order, linear_solver,
-            mixed, refine)
+            mixed, refine, precond)
 
         # ---- RayleighRitz + RitzVec ----
         ss_eval, ss_evec, h, ritz = _rayleigh_ritz(
@@ -695,7 +702,7 @@ def gcg_solve(
                 size_x, bs, cg, p.orth_zero_tol, p.orth_passes, p.cg_order,
                 p.linear_solver, p.fuse, p.tol_abs, p.tol_rel, p.gap_min,
                 p.cg_auto_shift, p.cg_shift, p.rr_backend, p.cg_mixed,
-                p.cg_refine,
+                p.cg_refine, p.linear_precond,
             )
             nev_conv = int(nev_conv_d)
             num_iter = int(num_iter_d)
@@ -832,7 +839,7 @@ def gcg_solve(
             jnp.asarray(act_idx), jnp.int32(act_cnt),
             jnp.asarray(sigma, dtype), size_x, bs, cg,
             p.orth_zero_tol, p.orth_passes, p.cg_order, p.linear_solver,
-            p.cg_mixed, p.cg_refine,
+            p.cg_mixed, p.cg_refine, p.linear_precond,
         )
         jax.block_until_ready(v)
         timers["compW"] += time.perf_counter() - t0

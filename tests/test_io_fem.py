@@ -141,3 +141,47 @@ def test_matrix_market_symmetric(tmp_path):
     m = sps.coo_matrix((vals, (rows, cols)), shape=shape).toarray()
     expect = np.array([[2.0, -1.0, 0], [-1.0, 2.0, 0], [0, 0, 1.5]])
     np.testing.assert_allclose(m, expect)
+
+
+def test_albert_reader_and_general_assembly(tmp_path):
+    """Round-trip: write an ALBERT file from our structured cube mesh, read
+    it back, assemble with the general-path assembler, and match the direct
+    structured assembly (same spectrum)."""
+    import numpy as np
+    from gcge_tpu.io.fem import (
+        assemble_p1, cube_fem_laplacian, cube_mesh, load_albert_mesh,
+    )
+
+    nx = 3
+    verts, tets = cube_mesh(nx)
+    # boundary faces: a face (3 verts) lies on the cube boundary if all its
+    # vertices do; encode per element, face i opposite vertex i
+    on_bnd = np.any((verts <= 0.0) | (verts >= 1.0 - 1e-12), axis=1)
+    bnd_codes = np.zeros((len(tets), 4), np.int64)
+    for face in range(4):
+        others = [v for v in range(4) if v != face]
+        bnd_codes[:, face] = np.all(on_bnd[tets[:, others]], axis=1)
+    p = tmp_path / "cube.dat"
+    with open(p, "w") as f:
+        f.write("DIM: 3\nDIM_OF_WORLD: 3\n")
+        f.write(f"number of vertices: {len(verts)}\n")
+        f.write(f"number of elements: {len(tets)}\n\n")
+        f.write("vertex coordinates:\n")
+        for v in verts:
+            f.write(" %.17g %.17g %.17g\n" % tuple(v))
+        f.write("element vertices:\n")
+        for t in tets:
+            f.write(" %d %d %d %d\n" % tuple(t))
+        f.write("element boundaries:\n")
+        for b in bnd_codes:
+            f.write(" %d %d %d %d\n" % tuple(b))
+    v2, t2, mask = load_albert_mesh(str(p))
+    np.testing.assert_allclose(v2, verts)
+    np.testing.assert_array_equal(t2, tets)
+    np.testing.assert_array_equal(mask, on_bnd)
+    r1, c1, a1, b1, n1 = assemble_p1(v2, t2, mask)
+    r0, c0, a0, b0, n0 = cube_fem_laplacian(nx)
+    assert n1 == n0
+    d1 = np.zeros((n1, n1)); np.add.at(d1, (r1, c1), a1)
+    d0 = np.zeros((n0, n0)); np.add.at(d0, (r0, c0), a0)
+    np.testing.assert_allclose(d1, d0, atol=1e-12)
