@@ -212,3 +212,27 @@ def test_gcg_mixed_precision_cg():
                        cg_mixed=True, cg_refine=2, fuse=4)
     result = gcg_solve(dia, None, params)
     _check_eigs(result, a, None, nev, exact=exact)
+
+
+def test_cross_validate_vs_scipy_lobpcg(rng):
+    """Cross-validation against an independent eigensolver (the reference
+    cross-checks against SLEPc's EPS family, test_app_slepc.c:592+; here
+    scipy's LOBPCG plays that role)."""
+    import numpy as np
+    import scipy.sparse as sps
+    from scipy.sparse.linalg import lobpcg
+
+    from gcge_tpu import GCGParams, gcg_solve, make_operator
+    from tests.conftest import laplacian_1d
+
+    n = 500
+    a, h = laplacian_1d(n)
+    rows, cols = np.nonzero(a)
+    op = make_operator(rows, cols, a[rows, cols], a.shape)
+    res = gcg_solve(op, None, GCGParams(nev=8, block_size=4, max_iter=100,
+                                        verbose=0))
+    a_s = sps.coo_matrix((a[rows, cols], (rows, cols)), shape=a.shape).tocsr()
+    x0 = rng.standard_normal((n, 8))
+    w, _ = lobpcg(a_s, x0, largest=False, tol=1e-10, maxiter=500)
+    assert res.nev_conv >= 8
+    np.testing.assert_allclose(res.eval[:8], np.sort(w)[:8], rtol=1e-8)
