@@ -95,6 +95,14 @@ class GCGParams:
     # solver preconditions BPCG, ops_eig_sol_gcg.c:584-618): callable
     # R -> M^{-1} R, jit-traceable.
     linear_precond: Any = None
+    # columns checked for convergence per iteration (reference
+    # check_conv_max_num: struct default 15, driver default 50,
+    # test_eig_sol_gcg.c:104); capped at size_x.  A window wider than
+    # block_size lets one iteration declare several clusters converged at
+    # once; unlike the reference (which early-exits at the first
+    # unconverged column) the static-shape check always pays for the full
+    # window, so the default is a moderate 2*bs (0 = auto).
+    check_max: int = 0
     # orthogonalization
     orth_zero_tol: float = 1e-13
     orth_passes: int = 2
@@ -185,16 +193,16 @@ def _initial_rr(a_op, v, size_x: int, bs: int, rr_backend: str = "auto"):
     return ss_eval, ss_evec, h, ritz, v
 
 
-@partial(jax.jit, static_argnames=("size_x", "bs"))
-def _residual_norms(a_op, b_op, ritz, ss_eval, c0, size_x: int, bs: int):
-    """Residual 2-norms of the Ritz window ``[c0, c0+bs)``.
+@partial(jax.jit, static_argnames=("size_x", "cw"))
+def _residual_norms(a_op, b_op, ritz, ss_eval, c0, size_x: int, cw: int):
+    """Residual 2-norms of the Ritz window ``[c0, c0+cw)``.
 
     Reference ``CheckConvergence`` (``ops_eig_sol_gcg.c:195-315``) — the
     classification itself happens on host from these numbers."""
     n = ritz.shape[0]
     c0 = c0.astype(jnp.int32)
-    cols = jax.lax.dynamic_slice(ritz, (jnp.int32(0), c0), (n, bs))
-    lam = jax.lax.dynamic_slice(ss_eval, (c0,), (bs,))
+    cols = jax.lax.dynamic_slice(ritz, (jnp.int32(0), c0), (n, cw))
+    lam = jax.lax.dynamic_slice(ss_eval, (c0,), (cw,))
     r = a_op.matvec(cols) - lam[None, :] * _matvec(b_op, cols)
     return jnp.sqrt(col_dots(r, r))
 
@@ -399,20 +407,25 @@ def _classify_traced(res, lam, tol_abs, tol_rel):
 
 def _check_convergence_traced(res, ss_eval, c0, scan_from, nev_conv_prev,
                               size_x, bs, tol_abs, tol_rel, gap_min):
-    """Traced twin of _check_convergence_host (same semantics)."""
-    ar = jnp.arange(bs)
-    lam_win = jax.lax.dynamic_slice(ss_eval, (c0,), (bs,))
+    """Traced twin of _check_convergence_host (same semantics).
+
+    ``res`` has ``cw >= bs`` entries (the checked window, reference
+    check_conv_max_num); the active set for ComputeW still holds ``bs``
+    columns."""
+    cw = res.shape[0]
+    ar = jnp.arange(cw)
+    lam_win = jax.lax.dynamic_slice(ss_eval, (c0,), (cw,))
     unconv = _classify_traced(res, lam_win, tol_abs, tol_rel)
     unconv = unconv | (ar < scan_from)  # positions before scan_from don't count
-    # first unconverged index in [scan_from, bs)
+    # first unconverged index in [scan_from, cw)
     scan_unconv = unconv & (ar >= scan_from)
     idx = jnp.where(jnp.any(scan_unconv),
-                    jnp.argmax(scan_unconv), jnp.int32(bs))
+                    jnp.argmax(scan_unconv), jnp.int32(cw))
     # multiplicity-cluster backoff: largest j <= idx with a real gap at j,
-    # over positions 0..bs INCLUSIVE (idx == bs when the whole window
+    # over positions 0..cw INCLUSIVE (idx == cw when the whole window
     # converged — the gap test then looks one past the window, as the host
     # loop does)
-    ar1 = jnp.arange(bs + 1)
+    ar1 = jnp.arange(cw + 1)
     idx_m1 = jnp.clip(c0 + ar1 - 1, 0, ss_eval.shape[0] - 1)
     idx_cur = jnp.clip(c0 + ar1, 0, ss_eval.shape[0] - 1)
     lam_m1 = jnp.take(ss_eval, idx_m1)                               # lam[c0+i-1]
@@ -426,13 +439,14 @@ def _check_convergence_traced(res, ss_eval, c0, scan_from, nev_conv_prev,
     nev_conv = jnp.maximum(nev_conv_prev, c0 + j)
     # active window: unconverged checked columns first, then the sequential
     # tail beyond the window, capped at size_x
+    arb = jnp.arange(bs)
     win_idx = jnp.where(unconv & (ar >= scan_from), c0 + ar, size_x + ar)
-    tail = c0 + bs + ar
-    tail_idx = jnp.where(tail < size_x, tail, 2 * size_x + bs + ar)
+    tail = c0 + cw + arb
+    tail_idx = jnp.where(tail < size_x, tail, 2 * size_x + cw + arb)
     cand_all = jnp.sort(jnp.concatenate([win_idx, tail_idx]))[:bs]
     act_cnt = jnp.sum(cand_all < size_x).astype(jnp.int32)
     # fallback when nothing is active: window at nev_conv
-    fb = jnp.minimum(nev_conv + ar, size_x - 1).astype(cand_all.dtype)
+    fb = jnp.minimum(nev_conv + arb, size_x - 1).astype(cand_all.dtype)
     use_fb = act_cnt == 0
     act_cnt = jnp.where(use_fb, jnp.int32(bs), act_cnt)
     cand_all = jnp.where(use_fb, fb, cand_all)
@@ -449,7 +463,7 @@ def _check_convergence_traced(res, ss_eval, c0, scan_from, nev_conv_prev,
     static_argnames=("size_x", "bs", "cg", "zero_tol", "passes", "cg_order",
                      "linear_solver", "max_steps", "tol_abs", "tol_rel",
                      "gap_min", "auto_shift", "shift", "rr_backend",
-                     "mixed", "refine", "precond"),
+                     "mixed", "refine", "precond", "check_max"),
 )
 def _gcg_chunk(a_op, b_op, v, ritz, ss_eval, ss_evec, h,
                act_idx, act_cnt, nev_conv, num_iter, nev_target,
@@ -458,10 +472,11 @@ def _gcg_chunk(a_op, b_op, v, ritz, ss_eval, ss_evec, h,
                max_steps: int, tol_abs: float, tol_rel: float,
                gap_min: float, auto_shift: bool, shift: float,
                rr_backend: str = "auto", mixed: bool = False,
-               refine: int = 2, precond=None):
+               refine: int = 2, precond=None, check_max: int = 0):
     """Run up to ``max_steps`` full GCG iterations on device; exits early when
     ``nev_conv >= nev_target`` or the subspace stagnates (P and W deflated)."""
     m = size_x + 2 * bs
+    cw = min(max(check_max or 2 * bs, bs), size_x)
 
     def cond(st):
         (v, ritz, ss_eval, ss_evec, h, act_idx, act_cnt, nev_conv, num_iter,
@@ -473,9 +488,9 @@ def _gcg_chunk(a_op, b_op, v, ritz, ss_eval, ss_evec, h,
          steps, stall, _) = st
         # ---- CheckConvergence ----
         c0_raw = nev_conv
-        c0 = jnp.minimum(c0_raw, size_x - bs).astype(jnp.int32)
+        c0 = jnp.minimum(c0_raw, size_x - cw).astype(jnp.int32)
         scan_from = (c0_raw - c0).astype(jnp.int32)
-        res = _residual_norms(a_op, b_op, ritz, ss_eval, c0, size_x, bs)
+        res = _residual_norms(a_op, b_op, ritz, ss_eval, c0, size_x, cw)
         first = num_iter == 0
         nev_new, act_new, cnt_new = _check_convergence_traced(
             res, ss_eval, c0, scan_from, nev_conv, size_x, bs,
@@ -519,7 +534,7 @@ def _gcg_chunk(a_op, b_op, v, ritz, ss_eval, ss_evec, h,
 
     st0 = (v, ritz, ss_eval, ss_evec, h, act_idx, act_cnt,
            jnp.int32(nev_conv), jnp.int32(num_iter), jnp.int32(0),
-           jnp.int32(0), jnp.zeros((bs,), v.dtype))
+           jnp.int32(0), jnp.zeros((cw,), v.dtype))
     return jax.lax.while_loop(cond, body, st0)
 
 
@@ -560,11 +575,12 @@ def _check_convergence_host(
     multiplicity backoff (never split a cluster), then collect up to ``bs``
     unconverged indices, extending past the checked window if fewer were found
     (``ops_eig_sol_gcg.c:253-301``)."""
-    lam_win = ss_eval_h[c0_eff:c0_eff + bs]
+    cw = len(res)
+    lam_win = ss_eval_h[c0_eff:c0_eff + cw]
     unconv = _classify(res, lam_win, tol_abs, tol_rel)
 
-    idx = bs
-    for i in range(scan_from, bs):
+    idx = cw
+    for i in range(scan_from, cw):
         if unconv[i]:
             idx = i
             break
@@ -578,8 +594,8 @@ def _check_convergence_host(
         idx -= 1
     nev_conv = max(nev_conv_prev, c0_eff + idx)
 
-    act = [c0_eff + i for i in range(bs) if unconv[i]]
-    nxt = c0_eff + bs
+    act = [c0_eff + i for i in range(cw) if unconv[i]]
+    nxt = c0_eff + cw
     while len(act) < bs and nxt < size_x:
         act.append(nxt)
         nxt += 1
@@ -702,7 +718,7 @@ def gcg_solve(
                 size_x, bs, cg, p.orth_zero_tol, p.orth_passes, p.cg_order,
                 p.linear_solver, p.fuse, p.tol_abs, p.tol_rel, p.gap_min,
                 p.cg_auto_shift, p.cg_shift, p.rr_backend, p.cg_mixed,
-                p.cg_refine, p.linear_precond,
+                p.cg_refine, p.linear_precond, p.check_max,
             )
             nev_conv = int(nev_conv_d)
             num_iter = int(num_iter_d)
@@ -757,11 +773,12 @@ def gcg_solve(
     while True:
         # ---- CheckConvergence ------------------------------------------
         if num_iter > 0:
+            cw = min(max(p.check_max or 2 * bs, bs), size_x)
             c0 = nev_conv
-            c0_eff = min(c0, size_x - bs)
+            c0_eff = min(c0, size_x - cw)
             scan_from = c0 - c0_eff
             res = timed("checkconv", _residual_norms, a_op, b_op, ritz, ss_eval,
-                        jnp.int32(c0_eff), size_x, bs)
+                        jnp.int32(c0_eff), size_x, cw)
             res_h = np.asarray(res)
             ss_eval_h = np.asarray(ss_eval)
             nev_conv, act_idx, act_cnt = _check_convergence_host(
