@@ -73,3 +73,39 @@ def test_bamg_generalized_mass_coarsening():
         bd = np.asarray(lv.b_op.to_dense())
         np.testing.assert_allclose(bd, bd.T, atol=1e-12)
         assert (np.linalg.eigvalsh(bd) > 0).all()
+
+
+def test_amg_preconditioned_gcg(rng):
+    """A single AMG V-cycle as the inner-CG preconditioner (the TPU form of
+    the reference's flag=2 'external solver preconditions BPCG' mode) must
+    cut GCG iterations on an ill-conditioned operator."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gcge_tpu.ops.operators import make_operator
+    from gcge_tpu.solvers.gcg import GCGParams, gcg_solve
+    from gcge_tpu.solvers.multigrid import _vcycle, build_hierarchy
+    from tests.conftest import laplacian_1d, laplacian_1d_eigs
+
+    n = 2000
+    a, h = laplacian_1d(n)
+    rows, cols = np.nonzero(a)
+    vals = a[rows, cols]
+    op = make_operator(rows, cols, vals, a.shape)
+    hier = build_hierarchy(rows, cols, vals, n, max_levels=4, min_coarse=50)
+
+    def amg_precond(r):
+        return _vcycle(hier, 0, r, jnp.zeros_like(r), (2, 2, 2, 2), 30,
+                       1e-16, 1e-30)
+
+    base = GCGParams(nev=5, block_size=3, max_iter=150, verbose=0,
+                     cg_max_iter=10)
+    plain = gcg_solve(op, None, base)
+    pc = gcg_solve(op, None, GCGParams(**{**base.__dict__,
+                                          "linear_precond": amg_precond}))
+    assert pc.nev_conv >= 5
+    np.testing.assert_allclose(pc.eval[:5], laplacian_1d_eigs(n)[:5],
+                               rtol=1e-7)
+    # preconditioning must make the inverse-power correction far more
+    # accurate per iteration: require a real iteration-count win
+    assert pc.num_iter < plain.num_iter * 0.7 or plain.nev_conv < 5
