@@ -39,6 +39,7 @@ _FLAG_MAP = {
     "-gcge_compW_cg_shift": ("cg_shift", float),
     "-gcge_print_conv": ("verbose", int),
     "-gcge_compW_cg_order": ("cg_order", int),
+    "-gcge_check_conv_max_num": ("check_max", int),
 }
 
 # accepted for compatibility; recorded in `extras`, no TPU-side effect
@@ -50,7 +51,6 @@ _COMPAT_FLAGS = {
     "-gcge_initX_orth_block_size": int,
     "-gcge_initX_orth_max_reorth": int,
     "-gcge_initX_orth_zero_tol": float,
-    "-gcge_check_conv_max_num": int,
     "-gcge_compP_orth_method": str,
     "-gcge_compP_orth_block_size": int,
     "-gcge_compP_orth_max_reorth": int,
@@ -129,3 +129,40 @@ def print_usage(printer=print):
     printer(" (reference -gcge_*_orth_* and -gcge_compRR_* flags are accepted")
     printer("  for compatibility; the TPU build has a single EVP orthogonalizer")
     printer("  and a replicated eigh so they have no effect)")
+
+
+def main(argv=None):
+    """Console entry point (``gcge-solve``): delegates to the full driver in
+    ``examples/gcge_solve.py`` semantics — loads/assembles a matrix, picks
+    the TPU layout, runs GCG, prints eigenvalues.  The flag surface is the
+    reference's ``-gcge_*`` namespace plus driver flags (see
+    :func:`print_usage` and the examples docstring)."""
+    import sys
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "..", "examples",
+                        "gcge_solve.py")
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        spec = importlib.util.spec_from_file_location("gcge_solve_cli", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.main(argv)
+    # installed without the examples tree: minimal in-package driver
+    import numpy as np
+
+    from gcge_tpu.io.fem import cube_fem_laplacian
+    from gcge_tpu.ops.operators import make_operator
+    from gcge_tpu.solvers.gcg import gcg_solve
+
+    nx = int(argv[argv.index("-fem_nx") + 1]) if "-fem_nx" in argv else 12
+    rows, cols, a_vals, b_vals, n = cube_fem_laplacian(nx)
+    params, _ = params_from_args(argv)
+    res = gcg_solve(make_operator(rows, cols, a_vals, (n, n)),
+                    make_operator(rows, cols, b_vals, (n, n)), params)
+    for i, lam in enumerate(res.eval[: res.nev_conv or params.nev]):
+        print(f"  [{i}] {lam:.14e}")
+    return res
