@@ -32,6 +32,40 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def safe_eigh(h):
+    """``jnp.linalg.eigh`` with a NaN-recovery retry.
+
+    The axon TPU's emulated-f64 eigh can return all-NaN for perfectly finite
+    symmetric matrices whose eigenvalue spread reaches the double-float noise
+    floor (observed on an 18x18 B-Gram with eigenvalues 1e-13..2 — rank
+    deflation territory, exactly where GCG/PAS operate near convergence).
+    On NaN, retry with a Tikhonov shift ``+1e-12*max|diag|`` (same
+    eigenvectors) and subtract the shift from the eigenvalues — exact up to
+    rounding, and the shifted spectrum clears the failure region.
+    """
+    m = h.shape[0]
+    scale = jnp.max(jnp.abs(jnp.diagonal(h))) + jnp.asarray(1e-300, h.dtype)
+
+    def attempt(rel_reg):
+        reg = jnp.asarray(rel_reg, h.dtype) * scale
+        w, u = jnp.linalg.eigh(h + reg * jnp.eye(m, dtype=h.dtype))
+        return w - reg, u
+
+    def is_bad(w, u):
+        return jnp.any(jnp.isnan(w)) | jnp.any(jnp.isnan(u))
+
+    # The failure region depends on the matrix (observed Grams needing
+    # shifts between 1e-12 and 1e-11 of scale), so the base call is ALWAYS
+    # shifted by 1e-10*scale — the subtraction restores eigenvalues to
+    # ~eps*reg absolute error, far below the deflation floors that consume
+    # these spectra — with a single conditional escalation to 1e-7.
+    # (A nested lax.cond here crashes the axon runtime: XLA tuple_tree
+    # "Index out of bounds"; keep exactly one cond.)
+    w0, u0 = attempt(1e-10)
+    return jax.lax.cond(is_bad(w0, u0), lambda _: attempt(1e-7),
+                        lambda _: (w0, u0), None)
+
+
 @lru_cache(maxsize=None)
 def _round_robin_rounds(m: int):
     """Round-robin pairings: m-1 rounds of m/2 disjoint pairs covering all
@@ -117,7 +151,7 @@ def jacobi_polish(h, w0, u0, sweeps: int = 2):
 @partial(jax.jit, static_argnames=("sweeps",))
 def eigh_jacobi(h, sweeps: int = 2):
     """Device-accurate ``eigh``: fast device eigh warm start + Jacobi polish."""
-    w0, u0 = jnp.linalg.eigh(h)
+    w0, u0 = safe_eigh(h)
     return jacobi_polish(h, w0, u0, sweeps=sweeps)
 
 
@@ -157,4 +191,4 @@ def eigh(h, backend: str = "auto"):
         return _host_eigh(h)
     if backend == "jacobi":
         return eigh_jacobi(h)
-    return jnp.linalg.eigh(h)
+    return safe_eigh(h)

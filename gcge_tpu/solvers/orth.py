@@ -92,8 +92,10 @@ def orth_block(
         bx = x if b_matvec is None else b_matvec(x)
         g = gram(x, bx)
         g = 0.5 * (g + g.T)
-        w, u = jnp.linalg.eigh(g)
-        w = w[::-1]
+        from gcge_tpu.ops.eighs import safe_eigh
+
+        w, u = safe_eigh(g)   # NaN-guarded: rank-deficient Grams can NaN
+        w = w[::-1]           # the TPU's emulated-f64 eigh (see ops.eighs)
         u = u[:, ::-1]
         w_max = jnp.maximum(w[0], jnp.asarray(1e-300, x.dtype))
         if ref_scale2 is None and i == 0:

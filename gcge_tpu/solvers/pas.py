@@ -98,14 +98,16 @@ def _rr_over_span(a_op, b_op, s, nev, zero_tol=1e-13):
     """B-orthonormalize the span ``s`` and Rayleigh-Ritz: returns (lam, x)."""
     bmv = None if b_op is None else b_op.matvec
     q, rank = orth_block(s, bmv, zero_tol=zero_tol)
-    h = q.T @ a_op.matvec(q)
+    h = gram(q, a_op.matvec(q))
     h = 0.5 * (h + h.T)
     # mask deflated columns with a large diagonal so they sort last
     mvalid = (jnp.arange(s.shape[1]) < rank).astype(s.dtype)
     h = h * mvalid[None, :] * mvalid[:, None]
     big = jnp.max(jnp.sum(jnp.abs(h), axis=1)) + 1.0
     h = h + jnp.diag((1.0 - mvalid) * big)
-    w, c = jnp.linalg.eigh(h)
+    from gcge_tpu.ops.eighs import eigh
+
+    w, c = eigh(h, "auto")   # Jacobi-polished on TPU (see ops.eighs)
     return w[:nev], q @ c[:, :nev]
 
 
@@ -114,8 +116,8 @@ def pas_solve(
     nev: int,
     coarse_params: GCGParams | None = None,
     sweeps_per_level: int = 2,
-    final_sweeps: int = 4,
-    bamg_cycles: int = 4,
+    final_sweeps: int = 8,
+    bamg_cycles: int = 6,
     tol_rel: float = 1e-8,
     verbose: int = 1,
 ) -> PASResult:
