@@ -149,3 +149,25 @@ def test_make_operator_layout_selection(rng):
     x = rng.standard_normal((n, 3))
     np.testing.assert_allclose(np.asarray(op.matvec(jnp.asarray(x))), d @ x,
                                rtol=1e-12)
+
+
+def test_safe_eigh_shift_restore():
+    """safe_eigh's always-on Tikhonov shift must restore eigenvalues exactly
+    (guards the TPU emulated-f64 eigh NaN failure; see ops/eighs.py)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gcge_tpu.ops.eighs import safe_eigh
+
+    rng = np.random.default_rng(11)
+    # near-singular PSD Gram: eigenvalues spanning 1e-14 .. 2 (the regime
+    # that NaNs the TPU device eigh)
+    q, _ = np.linalg.qr(rng.standard_normal((24, 24)))
+    d = np.concatenate([np.full(12, 2.0), 10.0 ** rng.uniform(-14, -10, 12)])
+    g = (q * d[None, :]) @ q.T
+    g = 0.5 * (g + g.T)
+    w, u = safe_eigh(jnp.asarray(g))
+    w, u = np.asarray(w), np.asarray(u)
+    w_ref = np.linalg.eigvalsh(g)
+    assert not np.isnan(w).any() and not np.isnan(u).any()
+    np.testing.assert_allclose(w, w_ref, atol=1e-11)
+    np.testing.assert_allclose(u.T @ u, np.eye(24), atol=1e-11)
