@@ -118,9 +118,21 @@ def dia_spmm_pallas(values, offsets: tuple[int, ...], x,
 
 def dia_spmm_pallas_t(values, offsets: tuple[int, ...], xt,
                       tn: int = 4096, interpret: bool | None = None):
-    """Transposed-layout entry: xt of shape (m, n) -> (m, n)."""
+    """Transposed-layout entry: xt of shape (m, n) -> (m, n).
+
+    Wide multivectors fall back to the XLA shift formulation: XLA places the
+    kernel result in scoped VMEM when it can, and past ~12 MB that blows the
+    16 MB scoped limit (observed at m=40, n=157k inside the fused GCG loop).
+    The XLA path is ~1.5x slower but unconstrained."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    m, n = xt.shape
+    sub = 8 if xt.dtype == jnp.float32 else 16
+    m_pad = _round_up(max(m, sub), sub)
+    if m_pad * n * xt.dtype.itemsize > 12 * 2**20:
+        from gcge_tpu.ops.operators import DiaOperator
+
+        return DiaOperator(values, offsets, n).matvec_t(xt)
     span = max(abs(o) for o in offsets)
     tn = max(tn, _round_up(span, 512) if span else 512)
     return _dia_spmm_t(values, tuple(offsets), xt, tn, interpret)
