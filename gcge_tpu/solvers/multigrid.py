@@ -51,6 +51,21 @@ class MGHierarchy:
         return len(self.levels)
 
 
+# register as pytrees so whole hierarchies pass through jit boundaries —
+# fused PAS sweeps take the hierarchy as an argument instead of baking the
+# level matrices into the executable as constants
+jax.tree_util.register_pytree_node(
+    MGLevel,
+    lambda lv: ((lv.a_op, lv.p_op, lv.r_op, lv.b_op), None),
+    lambda aux, ch: MGLevel(a_op=ch[0], p_op=ch[1], r_op=ch[2], b_op=ch[3]),
+)
+jax.tree_util.register_pytree_node(
+    MGHierarchy,
+    lambda h: (tuple(h.levels), None),
+    lambda aux, ch: MGHierarchy(levels=list(ch)),
+)
+
+
 def _aggregate(a: sps.csr_matrix, theta: float) -> np.ndarray:
     """Greedy strength-of-connection aggregation; returns aggregate id/node."""
     n = a.shape[0]

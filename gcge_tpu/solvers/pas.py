@@ -35,10 +35,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import partial
+
 from gcge_tpu.ops.multivec import col_dots, gram
 from gcge_tpu.ops.operators import LinearOperator
 from gcge_tpu.solvers.gcg import GCGParams, gcg_solve
-from gcge_tpu.solvers.multigrid import MGHierarchy, bamg_solve
+from gcge_tpu.solvers.multigrid import MGHierarchy, _vcycle, bamg_solve
 from gcge_tpu.solvers.orth import orth_block
 
 
@@ -111,6 +113,25 @@ def _rr_over_span(a_op, b_op, s, nev, zero_tol=1e-13):
     return w[:nev], q @ c[:, :nev]
 
 
+@partial(jax.jit, static_argnames=("nev", "cycles", "smooth_iters",
+                                   "coarse_iters"))
+def _pas_sweep(hier_sub, a_op, b_op, x, lam, nev: int, cycles: int,
+               smooth_iters=(4, 4, 4, 4), coarse_iters: int = 100):
+    """One fused PAS sweep: inverse-power correction by ``cycles`` AMG
+    V-cycles + Rayleigh-Ritz over the augmented span — ONE device dispatch
+    (the reference pays per-phase MPI/host round-trips; on a remote TPU
+    endpoint the dispatch latency would otherwise dominate the multilevel
+    driver)."""
+    bx = x if b_op is None else b_op.matvec(x)
+    rhs = bx * lam[None, :]
+    e = x
+    for _ in range(cycles):
+        e = _vcycle(hier_sub, 0, rhs, e, smooth_iters, coarse_iters,
+                    1e-16, 1e-13)
+    s = jnp.concatenate([x, e], axis=1)
+    return _rr_over_span(a_op, b_op, s, nev)
+
+
 def pas_solve(
     hier: MGHierarchy,
     nev: int,
@@ -149,17 +170,12 @@ def pas_solve(
         x = lvls[level].p_op.matvec(x)
         a_op, b_op = lvls[level].a_op, lvls[level].b_op
         n_sweeps = final_sweeps if level == 0 else sweeps_per_level
+        hier_sub = MGHierarchy(levels=hier.levels[level:])
         for sweep in range(n_sweeps):
-            # ComputeN: inverse-power correction by BAMG (ref :345-390)
-            bx = x if b_op is None else b_op.matvec(x)
-            rhs = bx * lam[None, :]
-            n_corr, _, _ = bamg_solve(
-                hier, rhs, x0=x, level=level, max_cycles=bamg_cycles,
-                rtol=1e-12,
-            )
-            # Rayleigh-Ritz over the augmented span [X | N] (ref :50-249)
-            s = jnp.concatenate([x, n_corr], axis=1)
-            lam, x = _rr_over_span(a_op, b_op, s, nev)
+            # ComputeN (BAMG correction, ref :345-390) + augmented-span RR
+            # (ref :50-249), fused into one dispatch
+            lam, x = _pas_sweep(hier_sub, a_op, b_op, x, lam, nev,
+                                bamg_cycles)
             if level == 0:
                 # finest level: stop sweeping once the wanted residuals meet tol
                 bx = x if b_op is None else b_op.matvec(x)
