@@ -35,6 +35,11 @@ def get_flag(argv, name, default=None, conv=str):
 def main(argv):
     import jax
 
+    # -platform cpu|tpu: the JAX_PLATFORMS env var is ignored once the
+    # image's TPU plugin registers; only the config update is honored
+    platform = get_flag(argv, "-platform")
+    if platform:
+        jax.config.update("jax_platforms", platform)
     jax.config.update("jax_enable_x64", True)
 
     from gcge_tpu.io.fem import cube_fem_laplacian

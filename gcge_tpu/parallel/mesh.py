@@ -64,39 +64,54 @@ def pad_problem(a_op, b_op, n_devices: int, pad_value: float | None = None):
             a_op, (SparseOperator, DiaOperator)
         ) else 1e12
 
-    if isinstance(a_op, DiaOperator):
-        vals = jnp.pad(a_op.values, ((0, 0), (0, n_pad)))
-        offsets = a_op.offsets
-        if 0 in offsets:
-            d0 = offsets.index(0)
-        else:
-            vals = jnp.concatenate(
-                [vals, jnp.zeros((1, n + n_pad), vals.dtype)], axis=0
+    def pad_square(op, diag_value):
+        """Append n_pad decoupled rows with the given diagonal value."""
+        if isinstance(op, DiaOperator):
+            vals = jnp.pad(op.values, ((0, 0), (0, n_pad)))
+            offsets = op.offsets
+            if 0 in offsets:
+                d0 = offsets.index(0)
+            else:
+                vals = jnp.concatenate(
+                    [vals, jnp.zeros((1, n + n_pad), vals.dtype)], axis=0
+                )
+                offsets = offsets + (0,)
+                d0 = len(offsets) - 1
+            vals = vals.at[d0, n:].set(diag_value)
+            return DiaOperator(vals, offsets, n + n_pad)
+        if isinstance(op, SparseOperator):
+            kmax = op.values.shape[1]
+            pad_vals = jnp.zeros((n_pad, kmax), op.values.dtype)
+            pad_vals = pad_vals.at[:, 0].set(diag_value)
+            pad_idx = jnp.zeros((n_pad, kmax), op.indices.dtype)
+            pad_idx = pad_idx.at[:, 0].set(
+                n + jnp.arange(n_pad, dtype=op.indices.dtype))
+            return SparseOperator(
+                jnp.concatenate([op.values, pad_vals]),
+                jnp.concatenate([op.indices, pad_idx]),
+                n + n_pad,
             )
-            offsets = offsets + (0,)
-            d0 = len(offsets) - 1
-        vals = vals.at[d0, n:].set(pad_value)
-        a_pad = DiaOperator(vals, offsets, n + n_pad)
-    elif isinstance(a_op, SparseOperator):
-        kmax = a_op.values.shape[1]
-        pad_vals = jnp.zeros((n_pad, kmax), a_op.values.dtype)
-        pad_vals = pad_vals.at[:, 0].set(pad_value)
-        pad_idx = jnp.zeros((n_pad, kmax), a_op.indices.dtype)
-        pad_idx = pad_idx.at[:, 0].set(n + jnp.arange(n_pad, dtype=a_op.indices.dtype))
-        a_pad = SparseOperator(
-            jnp.concatenate([a_op.values, pad_vals]),
-            jnp.concatenate([a_op.indices, pad_idx]),
-            n + n_pad,
-        )
-    else:
-        raise NotImplementedError("pad_problem currently supports SparseOperator A")
+        from gcge_tpu.ops.operators import HybridOperator
 
-    if b_op is None:
-        b_pad = None
-    elif isinstance(b_op, DiagOperator):
-        b_pad = DiagOperator(
-            jnp.concatenate([b_op.d, jnp.ones((n_pad,), b_op.d.dtype)])
+        if isinstance(op, HybridOperator):
+            return HybridOperator(pad_square(op.dia, diag_value), op.ell and
+                                  _pad_ell_rows(op.ell, n_pad))
+        if isinstance(op, DiagOperator):
+            return DiagOperator(jnp.concatenate(
+                [op.d, jnp.full((n_pad,), diag_value, op.d.dtype)]))
+        raise NotImplementedError(type(op))
+
+    def _pad_ell_rows(ell, k):
+        # outlier part: padded rows carry no entries (zeros pointing at row 0)
+        kmax = ell.values.shape[1]
+        return SparseOperator(
+            jnp.pad(ell.values, ((0, k), (0, 0))),
+            jnp.pad(ell.indices, ((0, k), (0, 0))),
+            ell.n_cols + k,
         )
-    else:
-        raise NotImplementedError("pad_problem supports DiagOperator/None B")
+
+    a_pad = pad_square(a_op, pad_value)
+    # B pad rows get unit diagonal so the padded pencil eigenvalues are
+    # pad_value / 1 — huge, sorted last
+    b_pad = None if b_op is None else pad_square(b_op, 1.0)
     return a_pad, b_pad, n

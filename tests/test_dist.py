@@ -180,3 +180,23 @@ def test_sharded_hybrid_matches_local(mesh, rng):
         np.asarray(op.matvec(x)),
         rtol=1e-13,
     )
+
+
+def test_pad_problem_generalized_sparse_mass(mesh, rng):
+    """pad_problem with a DIA/sparse mass matrix: padded pencil eigenvalues
+    sort last and the distributed generalized solve matches single-device."""
+    from gcge_tpu.io.fem import cube_fem_laplacian
+    from gcge_tpu.ops.operators import make_operator
+
+    rows, cols, a_vals, b_vals, n = cube_fem_laplacian(5)  # n=64 -> pads to 64? no: 4^3=64
+    a_op = make_operator(rows, cols, a_vals, (n, n))
+    b_op = make_operator(rows, cols, b_vals, (n, n))
+    p = GCGParams(nev=3, block_size=2, max_iter=120, verbose=0)
+    ref = gcg_solve(a_op, b_op, p)
+    a_pad, b_pad, n0 = pad_problem(a_op, b_op, 8)
+    assert a_pad.shape[0] % 8 == 0 and n0 == n
+    a_d = shard_operator(a_pad, mesh)
+    b_d = shard_operator(b_pad, mesh)
+    res = gcg_solve(a_d, b_d, p, mesh=mesh)
+    assert res.nev_conv >= 3
+    np.testing.assert_allclose(res.eval[:3], ref.eval[:3], rtol=1e-8)
