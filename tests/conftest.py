@@ -7,19 +7,27 @@ cluster — here an 8-device host-platform mesh stands in for a TPU slice.
 import os
 
 # The image forces JAX_PLATFORMS=axon (tunneled TPU with remote compile);
-# tests must run on the local CPU backend with 8 virtual devices, so hard
-# override — setdefault is not enough.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# tests run on the local CPU backend with 8 virtual devices by default, so
+# hard override — setdefault is not enough.  Set GCGE_TEST_TPU=1 to run the
+# single-device tests against the real TPU instead (distributed tests
+# requiring 8 devices will be skipped there).
+_USE_TPU = os.environ.get("GCGE_TEST_TPU", "") == "1"
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -148,7 +148,7 @@ def test_make_operator_layout_selection(rng):
     np.add.at(d, (r2, c2), v2)
     x = rng.standard_normal((n, 3))
     np.testing.assert_allclose(np.asarray(op.matvec(jnp.asarray(x))), d @ x,
-                               rtol=1e-12)
+                               rtol=1e-11)
 
 
 def test_safe_eigh_shift_restore():

@@ -21,7 +21,8 @@ from tests.conftest import laplacian_1d, laplacian_1d_eigs
 
 @pytest.fixture(scope="module")
 def mesh():
-    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (CPU virtual mesh; skipped on 1-chip TPU)")
     return row_mesh(8)
 
 

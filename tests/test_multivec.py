@@ -58,7 +58,7 @@ def test_linear_comb(xy, rng):
     beta = jnp.arange(1.0, 5.0)
     r = linear_comb(x, coef, y, beta)
     expect = np.asarray(x) @ np.asarray(coef) + np.asarray(y) * np.arange(1.0, 5.0)
-    np.testing.assert_allclose(np.asarray(r), expect, rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(r), expect, rtol=1e-12)
     # scale-only path (used for lambda*Bx)
     r = linear_comb(None, None, y, beta)
     np.testing.assert_allclose(np.asarray(r), np.asarray(y) * np.arange(1.0, 5.0), rtol=1e-13)
