@@ -173,6 +173,142 @@ def eigh_jacobi(h, sweeps: int = 2):
     return jacobi_polish(h, w0, u0, sweeps=sweeps)
 
 
+# --------------------------------------------------------------------------
+# Large-m eigh: Newton eigenvector refinement + batched cluster rotations.
+#
+# The Jacobi polish above costs ~4*m^4 flops per sweep (m-1 rounds of m x m
+# matmul pairs) — fine for the m <= few-hundred projected problems of typical
+# GCG runs, but the reference sweeps nev up to 5000 (test/submit.sh:30-32),
+# i.e. projected matrices of order ~10k+2bs, where a sweep would cost 4e16
+# flops.  eigh_newton replaces the sweeps with first-order eigenvector
+# refinement: given the warm start U from the device eigh, H1 = U^T H U is
+# nearly diagonal, and the Newton/perturbation correction
+#     U <- orth(U (I + E)),   E[j,i] = H1[j,i] / (d_i - d_j)   (i != j)
+# contracts the off-diagonal quadratically (off^2/gap per step) at O(m^3)
+# matmul cost per step.  Pairs with |d_i - d_j| <= theta*scale are excluded
+# (their corrections would amplify the warm start's noise) and handled by a
+# second stage: contiguous runs of near-equal eigenvalues (ascending warm
+# start) are gathered into <=cap-sized blocks, the per-block MEAN is
+# subtracted (so the batched device eigh's f32-level backtransform error
+# scales with the cluster WIDTH, not ||H||), the blocks are eigensolved +
+# Jacobi-polished batched, and the block rotations are scattered back into a
+# block-diagonal m x m rotation.  Clusters with more than `cap` members are
+# split (the leftover cross-split coupling is bounded by the intra-cluster
+# gap, i.e. theta*scale-level eigen-residual — only truly >cap-fold
+# degenerate spectra hit this; raise `cap` there).
+# --------------------------------------------------------------------------
+
+
+def _acc_matmul_sym(h, u):
+    """Accurate h @ u for SYMMETRIC h (chunked contraction, see ops.multivec)."""
+    from gcge_tpu.ops.multivec import gram
+
+    return gram(h, u)
+
+
+@partial(jax.jit, static_argnames=("iters", "cap", "nblk", "polish_sweeps"))
+def eigh_newton(h, iters: int = 3, theta: float = 1e-4, cap: int = 64,
+                nblk: int | None = None, polish_sweeps: int = 4, warm=None):
+    """Eigendecomposition of symmetric ``h`` for large m (ascending).
+
+    Device-accurate on emulated-f64 TPUs like :func:`eigh_jacobi` but at
+    O(m^3) per refinement step instead of O(m^4) per sweep; intended for
+    projected matrices beyond a few hundred rows (huge-nev Rayleigh-Ritz).
+    ``theta`` is the relative gap below which a pair is treated as a cluster;
+    ``cap`` bounds the handled cluster size; ``nblk`` is the static budget of
+    multi-member cluster blocks (default m//2 capped at 64).  ``warm`` is an
+    optional ``(w0, u0)`` warm start (ascending, roughly orthonormal) standing
+    in for the device eigh — used by tests to reproduce the TPU's f32-level
+    backtransform error on exact-f64 hosts.
+    """
+    from gcge_tpu.ops.multivec import gram
+
+    m = h.shape[0]
+    if nblk is None:
+        nblk = max(1, min(m // 2, 64))
+    w0, u = safe_eigh(h) if warm is None else warm
+    scale = jnp.maximum(jnp.max(jnp.abs(w0)), jnp.asarray(1e-300, h.dtype))
+    gap_tol = jnp.asarray(theta, h.dtype) * scale
+    eye = jnp.eye(m, dtype=h.dtype)
+
+    def h1_of(u):
+        h1 = gram(u, _acc_matmul_sym(h, u))
+        return 0.5 * (h1 + h1.T)
+
+    for _ in range(iters):
+        h1 = h1_of(u)
+        d = jnp.diagonal(h1)
+        delta = d[None, :] - d[:, None]          # delta[j, i] = d_i - d_j
+        mask = jnp.abs(delta) > gap_tol
+        e = jnp.where(mask, h1 / jnp.where(mask, delta, 1.0), 0.0)
+        u = u @ (eye + e)
+        # one Newton-Schulz orthonormality step (I + E is orthogonal to
+        # first order; this removes the second-order drift)
+        g = gram(u, u)
+        u = u @ (1.5 * eye - 0.5 * g)
+
+    h1 = h1_of(u)
+    d = jnp.diagonal(h1)
+
+    # ---- stage 2: batched cluster rotations ------------------------------
+    c = cap
+    idx = jnp.arange(m)
+    gaps = jnp.concatenate([jnp.ones((1,), h.dtype) * (2 * gap_tol),
+                            d[1:] - d[:-1]])
+    b0 = gaps > gap_tol                                   # cluster starts
+    start0 = jax.lax.cummax(jnp.where(b0, idx, 0))
+    pos0 = idx - start0
+    b = b0 | (pos0 % c == 0)                              # split at cap
+    seg = jnp.cumsum(b.astype(jnp.int32)) - 1             # segment ids
+    ones = jnp.ones((m,), jnp.int32)
+    seg_len = jax.ops.segment_sum(ones, seg, num_segments=m)
+    len_at = jnp.take(seg_len, seg)
+    multi_start = b & (len_at >= 2)
+    starts = jnp.nonzero(multi_start, size=nblk, fill_value=m)[0]
+    valid_blk = starts < m
+    lens = jnp.where(valid_blk,
+                     jnp.take(seg_len, jnp.take(seg, jnp.minimum(starts, m - 1))),
+                     0)
+    rows = jnp.clip(starts[:, None] + jnp.arange(c)[None, :], 0, m - 1)
+    in_blk = (jnp.arange(c)[None, :] < lens[:, None]) & valid_blk[:, None]
+    sub = h1[rows[:, :, None], rows[:, None, :]]          # (nblk, c, c)
+    mvalid = in_blk[:, :, None] & in_blk[:, None, :]
+    sub = jnp.where(mvalid, sub, 0.0)
+    fin = in_blk.astype(h.dtype)
+    mu = jnp.sum(sub * jnp.eye(c, dtype=h.dtype), axis=(1, 2)) / \
+        jnp.maximum(jnp.sum(fin, axis=1), 1.0)
+    # subtract the block mean (valid diag only); give padded slots distinct,
+    # well-separated diagonal values above the block norm so they decouple
+    blk_norm = jnp.max(jnp.abs(sub), axis=(1, 2)) + gap_tol * c
+    pad_diag = (jnp.arange(c, dtype=h.dtype) + 2.0)[None, :] * \
+        (2.0 * blk_norm)[:, None]
+    diag_new = jnp.where(in_blk, -mu[:, None], pad_diag)
+    sub = sub + diag_new[:, :, None] * jnp.eye(c, dtype=h.dtype)
+    wb0, vb0 = jax.vmap(safe_eigh)(sub)
+    wb, vb = jax.vmap(
+        lambda hh, ww, uu: jacobi_polish(hh, ww, uu, sweeps=polish_sweeps)
+    )(sub, wb0, vb0)
+    # scatter block rotations into a block-diagonal m x m rotation
+    s_rot = jnp.zeros((m, m), h.dtype).at[rows[:, :, None], rows[:, None, :]].add(
+        jnp.where(mvalid, vb, 0.0), mode="drop")
+    covered = jnp.zeros((m,), jnp.int32).at[rows].add(
+        in_blk.astype(jnp.int32), mode="drop") > 0
+    s_rot = s_rot + jnp.diag(jnp.where(covered, 0.0, 1.0).astype(h.dtype))
+    u = u @ s_rot
+    w = jnp.where(covered, 0.0, d)
+    w = w.at[rows].add(jnp.where(in_blk, wb + mu[:, None], 0.0), mode="drop")
+
+    order = jnp.argsort(w)
+    return jnp.take(w, order), jnp.take(u, order, axis=1)
+
+
+# m above which 'auto' prefers the Newton refinement over Jacobi sweeps on
+# TPU (Jacobi sweep ~4m^4 flops vs Newton step ~10m^3: crossover in wall
+# time sits near a few hundred; Jacobi is kept below it for its uniform
+# robustness on tiny matrices).
+NEWTON_MIN_M = 512
+
+
 def _host_eigh(h):
     """eigh via pure_callback to host LAPACK — full f64, but unsupported on
     the axon PJRT platform (kept for CPU/GPU/other TPU runtimes)."""
@@ -194,19 +330,23 @@ def eigh(h, backend: str = "auto"):
     """Symmetric eigendecomposition, ascending.
 
     backend:
-      * ``'auto'``   — ``'jacobi'`` on TPU f64 (accurate there), else device.
+      * ``'auto'``   — on TPU f64: ``'jacobi'`` for m < :data:`NEWTON_MIN_M`,
+        ``'newton'`` above (both device-accurate); else plain device eigh.
       * ``'device'`` — plain ``jnp.linalg.eigh``.
       * ``'jacobi'`` — :func:`eigh_jacobi` (device eigh + Jacobi polish).
+      * ``'newton'`` — :func:`eigh_newton` (refinement + cluster rotations;
+        O(m^3) per step — the large-m / huge-nev path).
       * ``'host'``   — LAPACK via pure_callback (not available on axon).
     """
     if backend == "auto":
-        backend = (
-            "jacobi"
-            if jax.default_backend() == "tpu" and h.dtype == jnp.float64
-            else "device"
-        )
+        if jax.default_backend() == "tpu" and h.dtype == jnp.float64:
+            backend = "jacobi" if h.shape[0] < NEWTON_MIN_M else "newton"
+        else:
+            backend = "device"
     if backend == "host":
         return _host_eigh(h)
     if backend == "jacobi":
         return eigh_jacobi(h)
+    if backend == "newton":
+        return eigh_newton(h)
     return safe_eigh(h)

@@ -116,23 +116,192 @@ def dia_spmm_pallas(values, offsets: tuple[int, ...], x,
     return yt.T
 
 
+# --------------------------------------------------------------------------
+# double-f32 (df64) DIA kernel — the f64 fast path.
+#
+# TPUs have no f64 hardware; XLA emulates it, and the emulated-f64 XLA shift
+# formulation runs the SpMM at ~15 Gnnz/s vs ~55 for the f32 Pallas kernel
+# (PERFORMANCE.md).  Mosaic cannot take f64 operands at all, so the Pallas
+# f64 path represents every number as an UNEVALUATED SUM of two f32s
+# (hi + lo, "double-f32": 48-bit effective mantissa) and carries the rounding
+# errors explicitly with error-free transformations:
+#
+#   * Dekker two-product (split each factor at 12 bits; partial products are
+#     then EXACT in f32) for vals * x,
+#   * Knuth branch-free two-sum for the accumulation.
+#
+# HBM traffic is identical to the true-f64 path (8 B per value as hi+lo f32
+# pairs), so the kernel inherits the f32 kernel's bandwidth efficiency at
+# ~20 VPU flops per FMA — still far under the VPU roof at the bandwidth
+# limit.  Accuracy: |result - exact| ~ 2^-48 per product plus the value
+# representation error 2^-48*|A| — measured ~1e-14 relative, well below the
+# 1e-8 residual targets (and the same error class XLA's own emulation has).
+# This replaces the reference's f64 BLAS/MKL SpMM (app_ccs.c:58-131) at
+# full f64 quality without leaving the TPU-native kernel path.
+# --------------------------------------------------------------------------
+
+
+def split_df32(x64):
+    """Split an f64 array into an unevaluated f32 (hi, lo) pair."""
+    hi = x64.astype(jnp.float32)
+    lo = (x64 - hi.astype(jnp.float64)).astype(jnp.float32)
+    return hi, lo
+
+
+def _two_sum(a, b):
+    """Knuth branch-free two-sum: a + b = s + err exactly (f32)."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _two_prod(a, b):
+    """Dekker two-product: a * b = p + err exactly (f32, split at 12 bits)."""
+    p = a * b
+    c = jnp.float32(4097.0) * a          # 2^12 + 1
+    a_hi = c - (c - a)
+    a_lo = a - a_hi
+    c = jnp.float32(4097.0) * b
+    b_hi = c - (c - b)
+    b_lo = b - b_hi
+    err = ((a_hi * b_hi - p) + a_hi * b_lo + a_lo * b_hi) + a_lo * b_lo
+    return p, err
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "tn", "interpret"))
+def _dia_spmm_t_df64(vhi, vlo, offsets: tuple[int, ...], xhi, xlo,
+                     tn: int, interpret: bool):
+    """df64 transposed DIA SpMM: returns (y_hi, y_lo) f32 with
+    ``y_hi + y_lo ~ (A @ x)^T`` to ~2^-48 relative."""
+    ndiag, n = vhi.shape
+    m = xhi.shape[0]
+    assert max(abs(o) for o in offsets) <= tn, "diagonal offset exceeds tile"
+    m_pad = _round_up(max(m, 8), 8)
+    n_pad = _round_up(n, tn)
+    grid = n_pad // tn
+
+    def padv(v):
+        return jnp.zeros((ndiag, n_pad), v.dtype).at[:, :n].set(v)
+
+    def padx(x):
+        return jnp.zeros((m_pad, n_pad + 2 * tn), x.dtype).at[:m, tn:tn + n].set(x)
+
+    vhi_p, vlo_p = padv(vhi), padv(vlo)
+    xhi_p, xlo_p = padx(xhi), padx(xlo)
+
+    def kernel(xh0, xh1, xh2, xl0, xl1, xl2, vh_ref, vl_ref,
+               ohi_ref, olo_ref, wh_ref, wl_ref):
+        wh_ref[:, :tn] = xh0[:]
+        wh_ref[:, tn:2 * tn] = xh1[:]
+        wh_ref[:, 2 * tn:] = xh2[:]
+        wl_ref[:, :tn] = xl0[:]
+        wl_ref[:, tn:2 * tn] = xl1[:]
+        wl_ref[:, 2 * tn:] = xl2[:]
+        acc_hi = jnp.zeros((m_pad, tn), jnp.float32)
+        acc_lo = jnp.zeros((m_pad, tn), jnp.float32)
+        for d, off in enumerate(offsets):
+            vh = vh_ref[d:d + 1, :]
+            vl = vl_ref[d:d + 1, :]
+            xh = wh_ref[:, tn + off: 2 * tn + off]
+            xl = wl_ref[:, tn + off: 2 * tn + off]
+            p, e = _two_prod(vh, xh)
+            e = e + vh * xl + vl * xh
+            acc_hi, err = _two_sum(acc_hi, p)
+            acc_lo = acc_lo + (err + e)
+        # renormalize so |lo| <= ulp(hi)
+        s = acc_hi + acc_lo
+        olo_ref[:] = acc_lo - (s - acc_hi)
+        ohi_ref[:] = s
+
+    x_spec = lambda k: pl.BlockSpec(
+        (m_pad, tn), lambda i, k=k: (i * 0, i + k), memory_space=pltpu.VMEM
+    )
+    v_spec = pl.BlockSpec((ndiag, tn), lambda i: (i * 0, i),
+                          memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((m_pad, tn), lambda i: (i * 0, i),
+                          memory_space=pltpu.VMEM)
+    ohi, olo = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((m_pad, n_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((m_pad, n_pad), jnp.float32)),
+        grid=(grid,),
+        in_specs=[x_spec(0), x_spec(1), x_spec(2),
+                  x_spec(0), x_spec(1), x_spec(2),
+                  v_spec, v_spec],
+        out_specs=(o_spec, o_spec),
+        scratch_shapes=[pltpu.VMEM((m_pad, 3 * tn), jnp.float32),
+                        pltpu.VMEM((m_pad, 3 * tn), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=40 * ndiag * n_pad * m_pad,
+            bytes_accessed=(2 * ndiag * n_pad + 6 * m_pad * n_pad) * 4,
+            transcendentals=0,
+        ),
+    )(xhi_p, xhi_p, xhi_p, xlo_p, xlo_p, xlo_p, vhi_p, vlo_p)
+    return ohi[:m, :n], olo[:m, :n]
+
+
+def dia_spmm_pallas_t_df64(vhi, vlo, offsets: tuple[int, ...], xt,
+                           tn: int = 4096, interpret: bool | None = None):
+    """f64 transposed-layout DIA SpMM through the df64 Pallas kernel.
+
+    ``vhi/vlo`` are the pre-split f32 value planes (:func:`split_df32` —
+    split ONCE at operator construction; splitting per call would double the
+    value traffic).  ``xt`` is f64 ``(m, n)``; the x split happens per call
+    (x changes every call).  Returns f64.  Falls back to the XLA shift path
+    for results past the scoped-VMEM guard, like :func:`dia_spmm_pallas_t`.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    m, n = xt.shape
+    # scoped-VMEM guard: the two f32 result planes must fit ~12 MB.  Wider
+    # multivectors are column-chunked (each chunk re-reads the values — still
+    # a clear win over the XLA path for up to a few chunks); beyond that the
+    # value re-reads eat the advantage and the XLA shift path takes over.
+    max_rows = max((12 * 2**20 // (2 * 4 * n)) // 8 * 8, 0)
+    if max_rows < 8 or -(-m // max_rows) > 4:
+        from gcge_tpu.ops.operators import DiaOperator
+
+        v64 = vhi.astype(jnp.float64) + vlo.astype(jnp.float64)
+        return DiaOperator(v64, offsets, n).matvec_t(xt)
+    span = max(abs(o) for o in offsets)
+    tn = max(tn, _round_up(span, 512) if span else 512)
+
+    def run(xc):
+        hi, lo = split_df32(xc)
+        yhi, ylo = _dia_spmm_t_df64(vhi, vlo, tuple(offsets), hi, lo,
+                                    tn, interpret)
+        return yhi.astype(jnp.float64) + ylo.astype(jnp.float64)
+
+    if m <= max_rows:
+        return run(xt)
+    parts = [run(xt[i:i + max_rows]) for i in range(0, m, max_rows)]
+    return jnp.concatenate(parts, axis=0)
+
+
 def dia_spmm_pallas_t(values, offsets: tuple[int, ...], xt,
                       tn: int = 4096, interpret: bool | None = None):
     """Transposed-layout entry: xt of shape (m, n) -> (m, n).
 
-    Wide multivectors fall back to the XLA shift formulation: XLA places the
-    kernel result in scoped VMEM when it can, and past ~12 MB that blows the
-    16 MB scoped limit (observed at m=40, n=157k inside the fused GCG loop).
-    The XLA path is ~1.5x slower but unconstrained."""
+    The kernel result must fit ~12 MB of scoped VMEM (XLA places it there
+    when it can; past that the 16 MB scoped limit blows — observed at m=40,
+    n=157k inside the fused GCG loop).  Wider multivectors are column-chunked
+    over up to 4 kernel calls (each re-reads the values); beyond that the
+    XLA shift formulation (~1.5x slower, unconstrained) takes over."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     m, n = xt.shape
     sub = 8 if xt.dtype == jnp.float32 else 16
-    m_pad = _round_up(max(m, sub), sub)
-    if m_pad * n * xt.dtype.itemsize > 12 * 2**20:
+    max_rows = max((12 * 2**20 // (xt.dtype.itemsize * n)) // sub * sub, 0)
+    if max_rows < sub or -(-m // max_rows) > 4:
         from gcge_tpu.ops.operators import DiaOperator
 
         return DiaOperator(values, offsets, n).matvec_t(xt)
     span = max(abs(o) for o in offsets)
     tn = max(tn, _round_up(span, 512) if span else 512)
-    return _dia_spmm_t(values, tuple(offsets), xt, tn, interpret)
+    if m <= max_rows:
+        return _dia_spmm_t(values, tuple(offsets), xt, tn, interpret)
+    parts = [_dia_spmm_t(values, tuple(offsets), xt[i:i + max_rows], tn,
+                         interpret) for i in range(0, m, max_rows)]
+    return jnp.concatenate(parts, axis=0)

@@ -27,6 +27,7 @@ from jax import shard_map
 
 from gcge_tpu.ops.operators import (
     DenseOperator,
+    DiaDF64Operator,
     DiaOperator,
     DiagOperator,
     HybridOperator,
@@ -193,6 +194,16 @@ def shard_operator(op: LinearOperator, mesh: Mesh) -> LinearOperator:
     if isinstance(op, SparseOperator):
         inner = SparseOperator(
             shard_rows(mesh, op.values), shard_rows(mesh, op.indices), op.n_cols
+        )
+    elif isinstance(op, DiaDF64Operator):
+        # keep the double-f32 planes; the halo path reconstructs f64
+        # per-device via the `.values` property (the df64 Pallas kernel
+        # stays a single-device fast path for now)
+        sh = NamedSharding(mesh, P(None, ROWS))
+        inner = DiaDF64Operator(
+            jax.device_put(op.values_hi, sh),
+            jax.device_put(op.values_lo, sh),
+            op.offsets, op.n_cols,
         )
     elif isinstance(op, DiaOperator):
         # DIA stores values as (ndiag, n): the row axis is axis 1

@@ -66,6 +66,13 @@ def pad_problem(a_op, b_op, n_devices: int, pad_value: float | None = None):
 
     def pad_square(op, diag_value):
         """Append n_pad decoupled rows with the given diagonal value."""
+        from gcge_tpu.ops.operators import DiaDF64Operator
+
+        if isinstance(op, DiaDF64Operator):
+            # pad the reconstructed f64, then re-split the planes
+            padded = pad_square(DiaOperator(op.values, op.offsets, op.n_cols),
+                                diag_value)
+            return DiaDF64Operator.from_dia(padded)
         if isinstance(op, DiaOperator):
             vals = jnp.pad(op.values, ((0, 0), (0, n_pad)))
             offsets = op.offsets
