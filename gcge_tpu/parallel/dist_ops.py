@@ -35,7 +35,17 @@ from gcge_tpu.ops.operators import (
     LinearOperator,
     SparseOperator,
 )
-from gcge_tpu.parallel.mesh import ROWS, shard_rows
+from gcge_tpu.parallel.mesh import COLS, ROWS, mv_spec, shard_rows
+
+
+def _mv_spec_for(mesh: Mesh, x) -> P:
+    """Column-sharded spec on 2-D meshes, but only when the (static) column
+    count divides the cols axis — narrow windows (residual checks, odd
+    blocks) otherwise run rows-sharded/cols-replicated; GSPMD inserts the
+    resharding."""
+    if COLS in mesh.axis_names and x.shape[1] % mesh.shape[COLS] == 0:
+        return P(ROWS, COLS)
+    return P(ROWS, None)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -67,6 +77,8 @@ class RowShardedOperator(LinearOperator):
             # purely local — no communication needed
             return inner.matvec(x)
 
+        xspec = _mv_spec_for(self.mesh, x)
+
         if isinstance(inner, SparseOperator):
             n_cols = inner.n_cols
 
@@ -78,8 +90,8 @@ class RowShardedOperator(LinearOperator):
             return shard_map(
                 f,
                 mesh=self.mesh,
-                in_specs=(P(ROWS, None), P(ROWS, None), P(ROWS, None)),
-                out_specs=P(ROWS, None),
+                in_specs=(P(ROWS, None), P(ROWS, None), xspec),
+                out_specs=xspec,
                 check_vma=False,
             )(inner.values, inner.indices, x)
 
@@ -103,8 +115,8 @@ class RowShardedOperator(LinearOperator):
             return shard_map(
                 f,
                 mesh=self.mesh,
-                in_specs=(P(ROWS, None), P(ROWS, None)),
-                out_specs=P(ROWS, None),
+                in_specs=(P(ROWS, None), xspec),
+                out_specs=xspec,
                 check_vma=False,
             )(inner.a, x)
 
@@ -126,7 +138,8 @@ class RowShardedOperator(LinearOperator):
         back to all-gather + windowing when the band exceeds the local block.
         """
         inner, mesh = self.inner, self.mesh
-        ndev = mesh.devices.size
+        ndev = mesh.shape[ROWS]
+        xspec = _mv_spec_for(mesh, x)
         offsets, n_cols = inner.offsets, inner.n_cols
         hl = max(0, -min(offsets))
         hr = max(0, max(offsets))
@@ -149,8 +162,8 @@ class RowShardedOperator(LinearOperator):
 
             return shard_map(
                 f1, mesh=mesh,
-                in_specs=(P(None, ROWS), P(ROWS, None)),
-                out_specs=P(ROWS, None), check_vma=False,
+                in_specs=(P(None, ROWS), xspec),
+                out_specs=xspec, check_vma=False,
             )(inner.values, x)
 
         if halo_ok:
@@ -175,8 +188,8 @@ class RowShardedOperator(LinearOperator):
 
         return shard_map(
             f, mesh=mesh,
-            in_specs=(P(None, ROWS), P(ROWS, None)),
-            out_specs=P(ROWS, None), check_vma=False,
+            in_specs=(P(None, ROWS), xspec),
+            out_specs=xspec, check_vma=False,
         )(inner.values, x)
 
     def tree_flatten(self):

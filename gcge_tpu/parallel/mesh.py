@@ -19,6 +19,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 ROWS = "rows"
+COLS = "cols"
 
 
 def row_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -30,14 +31,44 @@ def row_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (ROWS,))
 
 
+def grid_mesh(n_rows: int, n_cols: int, devices=None) -> Mesh:
+    """2-D ``(rows, cols)`` mesh for very wide multivectors (nev >= ~1000).
+
+    The basis ``V`` is sharded over BOTH dimensions; the operator's row
+    blocks are replicated along the ``cols`` axis (each column group applies
+    the same row block to its slice of columns).  The reference has no
+    analogue — its multivectors always keep all columns per rank
+    (``app_slepc.c:49-60``); this is the TPU answer to the huge-nev regime
+    where one device cannot hold ``n x (nevMax + 2bs)``.
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[: n_rows * n_cols]).reshape(n_rows, n_cols)
+    return Mesh(devices, (ROWS, COLS))
+
+
 def row_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(ROWS))
+
+
+def mv_spec(mesh: Mesh) -> P:
+    """PartitionSpec for (n, m) multivectors on this mesh: rows always
+    sharded; columns too when the mesh has a ``cols`` axis."""
+    return P(ROWS, COLS) if COLS in mesh.axis_names else P(ROWS, None)
 
 
 def shard_rows(mesh: Mesh, x: jax.Array) -> jax.Array:
     """Shard the leading (row) dimension of an array over the mesh."""
     spec = P(ROWS, *([None] * (x.ndim - 1)))
     return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def shard_mv(mesh: Mesh, x: jax.Array) -> jax.Array:
+    """Shard a multivector ``(n, m)``: rows over ``rows``, and columns over
+    ``cols`` when present (2-D meshes, :func:`grid_mesh`)."""
+    if x.ndim < 2:
+        return shard_rows(mesh, x)
+    return jax.device_put(x, NamedSharding(mesh, mv_spec(mesh)))
 
 
 def replicate(mesh: Mesh, x: jax.Array) -> jax.Array:

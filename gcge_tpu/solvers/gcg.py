@@ -678,8 +678,8 @@ def gcg_solve(
     def _shard(arr):
         if mesh is None:
             return arr
-        from gcge_tpu.parallel.mesh import shard_rows
-        return shard_rows(mesh, arr)
+        from gcge_tpu.parallel.mesh import shard_mv
+        return shard_mv(mesh, arr)
 
     # ---- InitializeX + first RR -----------------------------------------
     t_start = time.perf_counter()
