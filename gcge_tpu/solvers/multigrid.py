@@ -38,6 +38,8 @@ class MGLevel:
     p_op: Optional[object] = None     # prolongation to the FINER level (n_f x n_c)
     r_op: Optional[object] = None     # restriction = P^T  (n_c x n_f)
     b_op: Optional[object] = None     # projected mass matrix (generalized problems)
+    dinv: Optional[object] = None     # 1/diag(A) — Chebyshev smoother scaling
+    lam_max: Optional[float] = None   # upper bound on spec(D^-1 A) (static)
 
 
 @dataclass
@@ -56,8 +58,9 @@ class MGHierarchy:
 # level matrices into the executable as constants
 jax.tree_util.register_pytree_node(
     MGLevel,
-    lambda lv: ((lv.a_op, lv.p_op, lv.r_op, lv.b_op), None),
-    lambda aux, ch: MGLevel(a_op=ch[0], p_op=ch[1], r_op=ch[2], b_op=ch[3]),
+    lambda lv: ((lv.a_op, lv.p_op, lv.r_op, lv.b_op, lv.dinv), (lv.lam_max,)),
+    lambda aux, ch: MGLevel(a_op=ch[0], p_op=ch[1], r_op=ch[2], b_op=ch[3],
+                            dinv=ch[4], lam_max=aux[0]),
 )
 jax.tree_util.register_pytree_node(
     MGHierarchy,
@@ -131,8 +134,21 @@ def build_hierarchy(
         coo = mat.tocoo()
         return make_operator(coo.row, coo.col, coo.data, mat.shape, dtype=dtype)
 
+    def cheb_data(mat):
+        """1/diag + a power-iteration bound on spec(D^-1 A) for Chebyshev."""
+        dinv = 1.0 / np.maximum(np.abs(mat.diagonal()), 1e-300)
+        v = np.random.default_rng(0).standard_normal(mat.shape[0])
+        lam = 1.0
+        for _ in range(20):
+            v = dinv * (mat @ v)
+            lam = np.linalg.norm(v)
+            v /= max(lam, 1e-300)
+        return jnp.asarray(dinv, dtype), float(1.1 * lam)
+
     hier = MGHierarchy()
-    hier.levels.append(MGLevel(a_op=dev(a), b_op=dev(b) if b is not None else None))
+    d0, l0 = cheb_data(a)
+    hier.levels.append(MGLevel(a_op=dev(a), b_op=dev(b) if b is not None else None,
+                               dinv=d0, lam_max=l0))
 
     while hier.num_levels < max_levels and a.shape[0] > min_coarse:
         agg = _aggregate(a, theta)
@@ -167,7 +183,8 @@ def build_hierarchy(
             b.eliminate_zeros()
             b_c_op = dev(b)
         a = a_c
-        hier.levels.append(MGLevel(a_op=dev(a), b_op=b_c_op))
+        dc, lc = cheb_data(a)
+        hier.levels.append(MGLevel(a_op=dev(a), b_op=b_c_op, dinv=dc, lam_max=lc))
     return hier
 
 
@@ -186,7 +203,45 @@ def multivec_from_i_to_j(hier: MGHierarchy, x: jax.Array, i: int, j: int) -> jax
     return x
 
 
-def _vcycle(hier, level, b, x, smooth_iters, coarse_iters, rate, tol):
+def chebyshev_smooth(a_matvec, dinv, b, x, lam_max: float, k: int,
+                     alpha: float = 4.0):
+    """``k`` steps of Chebyshev smoothing on ``A x = b``, Jacobi-preconditioned.
+
+    Targets the upper spectrum ``[lam_max/alpha, lam_max]`` of ``D^-1 A``
+    (standard smoothed-aggregation choice).  Unlike the CG smoother it needs
+    NO inner products — on a distributed mesh a whole V-cycle then performs
+    zero smoother collectives (only the transfer matvecs communicate), where
+    the reference's BPCG smoothing pays 2 Allreduce per smoothing step
+    (``ops_lin_sol.c:317,365``).  Fixed step count = fully static for XLA.
+    """
+    lmax = lam_max
+    lmin = lam_max / alpha
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    r = b - a_matvec(x)
+    d = (dinv[:, None] * r) / theta
+    for _ in range(k - 1):
+        x = x + d
+        r = r - a_matvec(d)
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * (dinv[:, None] * r)
+        rho = rho_new
+    return x + d
+
+
+def _smooth(lv, b, x, iters, rate, tol, smoother):
+    if smoother == "chebyshev" and lv.dinv is not None and lv.lam_max:
+        return chebyshev_smooth(lv.a_op.matvec, lv.dinv, b, x, lv.lam_max,
+                                iters)
+    params = BlockPCGParams(max_iter=iters, rate=rate, tol=tol, tol_type="abs")
+    x, _ = block_pcg(lv.a_op.matvec, b, x, params)
+    return x
+
+
+def _vcycle(hier, level, b, x, smooth_iters, coarse_iters, rate, tol,
+            smoother: str = "cg"):
     lv = hier.levels[level]
     if level + 1 == hier.num_levels:
         # coarsest: (near-)exact solve by CG — the reference gives the
@@ -195,18 +250,17 @@ def _vcycle(hier, level, b, x, smooth_iters, coarse_iters, rate, tol):
                                 tol_type="abs")
         x, _ = block_pcg(lv.a_op.matvec, b, x, params)
         return x
-    params = BlockPCGParams(max_iter=smooth_iters[min(level, len(smooth_iters) - 1)],
-                            rate=rate, tol=tol, tol_type="abs")
+    iters = smooth_iters[min(level, len(smooth_iters) - 1)]
     # pre-smooth
-    x, _ = block_pcg(lv.a_op.matvec, b, x, params)
+    x = _smooth(lv, b, x, iters, rate, tol, smoother)
     r = b - lv.a_op.matvec(x)
     r_c = lv.r_op.matvec(r)
     e_c = jnp.zeros((r_c.shape[0], r_c.shape[1]), r_c.dtype)
-    e_c = _vcycle(hier, level + 1, r_c, e_c, smooth_iters, coarse_iters, rate, tol)
+    e_c = _vcycle(hier, level + 1, r_c, e_c, smooth_iters, coarse_iters, rate,
+                  tol, smoother)
     x = x + lv.p_op.matvec(e_c)
     # post-smooth
-    x, _ = block_pcg(lv.a_op.matvec, b, x, params)
-    return x
+    return _smooth(lv, b, x, iters, rate, tol, smoother)
 
 
 def bamg_solve(
@@ -220,10 +274,16 @@ def bamg_solve(
     tol: float = 1e-13,
     rtol: float = 1e-8,
     level: int = 0,
+    smoother: str = "cg",
 ):
     """Block AMG: repeated V-cycles until the blockwise relative residual
     drops below ``rtol`` (outer loop of ``BlockAMG``,
     ``ops_lin_sol.c:643-685``).  Returns ``(x, niter, rel_res)``.
+
+    ``smoother``: ``'cg'`` (the reference's BPCG smoothing) or
+    ``'chebyshev'`` (inner-product-free — zero smoother collectives on a
+    mesh; needs hierarchies built by :func:`build_hierarchy`, which records
+    ``dinv``/``lam_max`` per level).
 
     The whole V-cycle (a static recursion over levels) is traced ONCE into a
     single jitted program — on TPU every cycle is one dispatch.
@@ -237,7 +297,7 @@ def bamg_solve(
 
     @jax.jit
     def cycle_and_residual(b, x):
-        x = _vcycle(sub, 0, b, x, si, coarse_iters, rate, tol)
+        x = _vcycle(sub, 0, b, x, si, coarse_iters, rate, tol, smoother)
         r = b - a_op.matvec(x)
         rel = jnp.sqrt(col_dots(r, r)) / nb
         return x, rel
@@ -249,3 +309,26 @@ def bamg_solve(
         if float(jnp.max(rel)) < rtol:
             break
     return x, it, rel
+
+
+def bamg_preconditioner(hier: MGHierarchy, cycles: int = 1,
+                        smooth_iters: Sequence[int] = (2, 2, 2, 2),
+                        coarse_iters: int = 30, smoother: str = "chebyshev"):
+    """AMG-V-cycle preconditioner for GCG's inner block CG.
+
+    Returns a jit-traceable ``R -> M^{-1} R`` closure for
+    ``GCGParams(linear_precond=...)`` — the reference's
+    ``user_defined_multi_linear_solver = 2`` mode (external solver
+    preconditions BPCG, ``ops_eig_sol_gcg.c:584-618``).  Default smoothing is
+    Chebyshev so one application costs only matvecs (no reductions).
+    """
+    si = tuple(smooth_iters)
+
+    def precond(r):
+        e = jnp.zeros_like(r)
+        for _ in range(cycles):
+            e = _vcycle(hier, 0, r, e, si, coarse_iters, 1e-16, 1e-13,
+                        smoother)
+        return e
+
+    return precond

@@ -109,3 +109,41 @@ def test_amg_preconditioned_gcg(rng):
     # preconditioning must make the inverse-power correction far more
     # accurate per iteration: require a real iteration-count win
     assert pc.num_iter < plain.num_iter * 0.7 or plain.nev_conv < 5
+
+
+def test_chebyshev_smoother_vcycle(hier, rng):
+    """Chebyshev-smoothed V-cycles (inner-product-free smoothing) converge
+    like the CG-smoothed ones on the Poisson problem."""
+    h, a = hier
+    n = a.shape[0]
+    x_true = rng.standard_normal((n, 3))
+    b = jnp.asarray(a @ x_true)
+    x, it, rel = bamg_solve(h, b, max_cycles=30, rtol=1e-10,
+                            smoother="chebyshev")
+    assert float(np.max(np.asarray(rel))) < 1e-10
+    np.testing.assert_allclose(np.asarray(x), x_true, rtol=0, atol=1e-7)
+    # per-level Chebyshev data was recorded by build_hierarchy
+    assert all(lv.dinv is not None and lv.lam_max for lv in h.levels)
+
+
+def test_bamg_preconditioner_helper(rng):
+    """bamg_preconditioner (Chebyshev-smoothed V-cycle closure) plugs into
+    GCGParams.linear_precond and converges to the oracle."""
+    from gcge_tpu.ops.operators import make_operator
+    from gcge_tpu.solvers.gcg import GCGParams, gcg_solve
+    from gcge_tpu.solvers.multigrid import bamg_preconditioner, build_hierarchy
+    from tests.conftest import laplacian_1d, laplacian_1d_eigs
+
+    n = 1500
+    a, _ = laplacian_1d(n)
+    rows, cols = np.nonzero(a)
+    vals = a[rows, cols]
+    op = make_operator(rows, cols, vals, a.shape)
+    hier = build_hierarchy(rows, cols, vals, n, max_levels=4, min_coarse=50)
+    params = GCGParams(nev=5, block_size=3, max_iter=60, verbose=0,
+                       cg_max_iter=10,
+                       linear_precond=bamg_preconditioner(hier))
+    res = gcg_solve(op, None, params)
+    assert res.nev_conv >= 5
+    np.testing.assert_allclose(res.eval[:5], laplacian_1d_eigs(n)[:5],
+                               rtol=1e-7)
