@@ -132,6 +132,37 @@ def _pas_sweep(hier_sub, a_op, b_op, x, lam, nev: int, cycles: int,
     return _rr_over_span(a_op, b_op, s, nev)
 
 
+@partial(jax.jit, static_argnames=("nev", "nev_out", "cycles", "max_sweeps",
+                                   "smooth_iters", "coarse_iters"))
+def _pas_sweeps_fused(hier_sub, a_op, b_op, x, lam, nev: int, nev_out: int,
+                      cycles: int, max_sweeps: int, tol_rel: float,
+                      smooth_iters=(4, 4, 4, 4), coarse_iters: int = 100):
+    """Up to ``max_sweeps`` PAS sweeps in ONE ``lax.while_loop`` dispatch,
+    exiting early once the first ``nev_out`` relative residuals meet
+    ``tol_rel`` — even the convergence control stays on device (the
+    phase-wise path syncs residuals to host between sweeps)."""
+
+    def rel_res(x, lam):
+        bx = x if b_op is None else b_op.matvec(x)
+        r = a_op.matvec(x) - bx * lam[None, :]
+        return jnp.sqrt(col_dots(r, r)) / jnp.maximum(jnp.abs(lam), 1e-300)
+
+    def cond(st):
+        x, lam, k, done = st
+        return (k < max_sweeps) & (~done)
+
+    def body(st):
+        x, lam, k, _ = st
+        lam, x = _pas_sweep(hier_sub, a_op, b_op, x, lam, nev, cycles,
+                            smooth_iters, coarse_iters)
+        done = jnp.all(rel_res(x, lam)[:nev_out] < tol_rel)
+        return x, lam, k + 1, done
+
+    x, lam, k, _ = jax.lax.while_loop(
+        cond, body, (x, lam, jnp.int32(0), jnp.bool_(False)))
+    return lam, x, k
+
+
 def pas_solve(
     hier: MGHierarchy,
     nev: int,
@@ -141,6 +172,7 @@ def pas_solve(
     bamg_cycles: int = 6,
     tol_rel: float = 1e-8,
     verbose: int = 1,
+    fuse: bool = True,
 ) -> PASResult:
     """Multilevel PAS driver (reference ``PAS``, ``ops_eig_sol_pas.c:534-730``).
 
@@ -171,19 +203,25 @@ def pas_solve(
         a_op, b_op = lvls[level].a_op, lvls[level].b_op
         n_sweeps = final_sweeps if level == 0 else sweeps_per_level
         hier_sub = MGHierarchy(levels=hier.levels[level:])
-        for sweep in range(n_sweeps):
+        if fuse:
             # ComputeN (BAMG correction, ref :345-390) + augmented-span RR
-            # (ref :50-249), fused into one dispatch
-            lam, x = _pas_sweep(hier_sub, a_op, b_op, x, lam, nev,
-                                bamg_cycles)
-            if level == 0:
-                # finest level: stop sweeping once the wanted residuals meet tol
-                bx = x if b_op is None else b_op.matvec(x)
-                r = a_op.matvec(x) - bx * lam[None, :]
-                rel = np.asarray(jnp.sqrt(col_dots(r, r))) / \
-                    np.maximum(np.abs(np.asarray(lam)), 1e-300)
-                if (rel[:nev_out] < tol_rel).all():
-                    break
+            # (ref :50-249) + the convergence control, ALL sweeps of this
+            # level in one while_loop dispatch
+            lam, x, _ = _pas_sweeps_fused(
+                hier_sub, a_op, b_op, x, lam, nev, nev_out, bamg_cycles,
+                n_sweeps, tol_rel if level == 0 else 0.0)
+        else:
+            for sweep in range(n_sweeps):
+                lam, x = _pas_sweep(hier_sub, a_op, b_op, x, lam, nev,
+                                    bamg_cycles)
+                if level == 0:
+                    # finest level: stop once the wanted residuals meet tol
+                    bx = x if b_op is None else b_op.matvec(x)
+                    r = a_op.matvec(x) - bx * lam[None, :]
+                    rel = np.asarray(jnp.sqrt(col_dots(r, r))) / \
+                        np.maximum(np.abs(np.asarray(lam)), 1e-300)
+                    if (rel[:nev_out] < tol_rel).all():
+                        break
         history.append((level, np.asarray(lam).copy()))
         if verbose:
             print(f"PAS level {level}: lam[0:3] = {np.asarray(lam)[:3]}")

@@ -54,3 +54,17 @@ def test_pas_generalized_fem():
     B = sps.coo_matrix((b_vals, (rows, cols)), shape=(n, n)).toarray()
     exact = scipy.linalg.eigh(A, B, eigvals_only=True)
     np.testing.assert_allclose(res.eval[:nev], exact[:nev], rtol=1e-6)
+
+
+def test_pas_fused_matches_phasewise():
+    """The one-dispatch fused sweep loop and the host-looped path agree."""
+    n, nev = 400, 4
+    a, _ = laplacian_1d(n)
+    rows, cols = np.nonzero(a)
+    hier = build_hierarchy(rows, cols, a[rows, cols], n, max_levels=3)
+    kw = dict(verbose=0, final_sweeps=10, bamg_cycles=6, tol_rel=1e-7)
+    rf = pas_solve(hier, nev, fuse=True, **kw)
+    rp = pas_solve(hier, nev, fuse=False, **kw)
+    assert rf.nev_conv >= nev and rp.nev_conv >= nev
+    np.testing.assert_allclose(rf.eval, rp.eval, rtol=1e-9)
+    np.testing.assert_allclose(rf.eval, laplacian_1d_eigs(n)[:nev], rtol=1e-6)
