@@ -127,6 +127,16 @@ def spmm_sweep(rows, cols, vals, n, nnz, bs, x_np):
     results["pallas_dia_f32"] = nnz * bs / t
     log(f"  Pallas DIA f32 (transposed): {t*1e3:.3f} ms -> "
         f"{results['pallas_dia_f32']/1e9:.2f} Gnnz/s")
+    # df64 (double-f32) kernel: the f64-quality Pallas fast path
+    from gcge_tpu.ops.operators import DiaDF64Operator
+
+    dia64 = DiaOperator.from_coo(rows, cols, vals, (n, n))
+    df = DiaDF64Operator.from_dia(dia64)
+    xt64 = jnp.asarray(x_np.T.copy(), jnp.float64)
+    t = chain_time(df.matvec_t, xt64)
+    results["pallas_dia_df64"] = nnz * bs / t
+    log(f"  Pallas DIA df64 (transposed): {t*1e3:.3f} ms -> "
+        f"{results['pallas_dia_df64']/1e9:.2f} Gnnz/s")
     return results
 
 
@@ -176,7 +186,12 @@ def main():
     spmm = spmm_sweep(rows, cols, vals, n, nnz, bs, x_np)
 
     # ---- headline: GCG wall-clock to nev eigenpairs at rel 1e-8 -----------
-    dia64 = DiaOperator.from_coo(rows, cols, vals, (n, n))
+    # make_operator auto-selects the df64 double-f32 DIA on TPU: residual /
+    # RR / orth matvecs then ride the Pallas kernel instead of XLA's f64
+    # emulation
+    from gcge_tpu.ops.operators import make_operator
+
+    dia64 = make_operator(rows, cols, vals, (n, n))
     params = GCGParams(nev=nev, block_size=bs, max_iter=120, verbose=0,
                        cg_max_iter=30, fuse=20, cg_mixed=True,
                        cg_auto_shift=True)

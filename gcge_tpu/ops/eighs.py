@@ -303,10 +303,14 @@ def eigh_newton(h, iters: int = 3, theta: float = 1e-4, cap: int = 64,
 
 
 # m above which 'auto' prefers the Newton refinement over Jacobi sweeps on
-# TPU (Jacobi sweep ~4m^4 flops vs Newton step ~10m^3: crossover in wall
-# time sits near a few hundred; Jacobi is kept below it for its uniform
-# robustness on tiny matrices).
-NEWTON_MIN_M = 512
+# TPU.  A Jacobi sweep is ~4m^4 matmul flops (m-1 rounds) vs ~10m^3 per
+# Newton step; measured on v5e: newton at m=512 runs in ~1.0s where a single
+# Jacobi sweep would cost ~4e14 emulated-f64 flops (tens of seconds).  The
+# nev=200 production case (projected m=480) sits right in this regime —
+# PERFORMANCE.md showed its iterations dominated by the Jacobi RR.  Jacobi
+# stays the default below 256 where it is fast anyway and has the longest
+# soak record on tiny clustered spectra.
+NEWTON_MIN_M = 256
 
 
 def _host_eigh(h):

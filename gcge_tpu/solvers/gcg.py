@@ -52,7 +52,8 @@ import numpy as np
 
 from gcge_tpu.ops.multivec import block_inner, col_dots, gram
 from gcge_tpu.solvers.bpcg import BlockPCGParams, block_pcg, block_pcg_t
-from gcge_tpu.solvers.orth import orth_against, orth_block, orth_block_against
+from gcge_tpu.solvers.orth import (orth_against, orth_block,
+                                   orth_block_against, orth_within)
 
 
 # --------------------------------------------------------------------------
@@ -106,6 +107,10 @@ class GCGParams:
     # orthogonalization
     orth_zero_tol: float = 1e-13
     orth_passes: int = 2
+    # 'evp' (TPU default: Gram-eigh recombination) | 'bgs' (binary split) |
+    # 'mgs' (column-wise, cross-check only) — the reference's
+    # -gcge_*_orth_method selection (ops_orth.h:36-41)
+    orth_method: str = "evp"
     # misc
     verbose: int = 1
     dtype: Any = jnp.float64
@@ -207,9 +212,10 @@ def _residual_norms(a_op, b_op, ritz, ss_eval, c0, size_x: int, cw: int):
     return jnp.sqrt(col_dots(r, r))
 
 
-@partial(jax.jit, static_argnames=("size_x", "bs", "zero_tol", "passes"))
+@partial(jax.jit, static_argnames=("size_x", "bs", "zero_tol", "passes",
+                                   "orth_method"))
 def _compute_p(v, ss_evec, h, act_idx, act_cnt, size_x: int, bs: int,
-               zero_tol: float, passes: int):
+               zero_tol: float, passes: int, orth_method: str = "evp"):
     """Form the P (previous search direction) block.
 
     Reference ``ComputeP`` (``ops_eig_sol_gcg.c:316-457``): take the subspace
@@ -227,7 +233,8 @@ def _compute_p(v, ss_evec, h, act_idx, act_cnt, size_x: int, bs: int,
     # normalized into a garbage direction (which would destroy the basis
     # orthonormality the whole Rayleigh-Ritz recurrence relies on).
     c_p, p_cnt = orth_block_against(c_p, c_x, None, zero_tol=zero_tol,
-                                    passes=passes, ref_scale2=1.0)
+                                    passes=passes, ref_scale2=1.0,
+                                    method=orth_method)
     p = v @ c_p
     h_pp = c_p.T @ (h @ c_p)
     v = v.at[:, size_x:size_x + bs].set(p)
@@ -237,12 +244,14 @@ def _compute_p(v, ss_evec, h, act_idx, act_cnt, size_x: int, bs: int,
 @partial(
     jax.jit,
     static_argnames=("size_x", "bs", "cg", "zero_tol", "passes", "cg_order",
-                     "linear_solver", "mixed", "refine", "precond"),
+                     "linear_solver", "mixed", "refine", "precond",
+                     "orth_method"),
 )
 def _compute_w(a_op, b_op, v, ritz, ss_eval, act_idx, act_cnt, sigma,
                size_x: int, bs: int, cg: BlockPCGParams, zero_tol: float,
                passes: int, cg_order: int = 1, linear_solver=None,
-               mixed: bool = False, refine: int = 2, precond=None):
+               mixed: bool = False, refine: int = 2, precond=None,
+               orth_method: str = "evp"):
     """Inverse-power correction block W.
 
     Reference ``ComputeW`` (``ops_eig_sol_gcg.c:472-695``): for the active
@@ -278,13 +287,16 @@ def _compute_w(a_op, b_op, v, ritz, ss_eval, act_idx, act_cnt, sigma,
         # (Pallas DIA kernel on TPU) with f64 residual recomputation between
         # — the inner-solve bandwidth halves and the matvec runs the fast
         # kernel, while the correction direction stays f64-accurate.
-        from gcge_tpu.ops.operators import DiaOperator, DiagOperator
+        from gcge_tpu.ops.operators import (DiaDF64Operator, DiaOperator,
+                                            DiagOperator)
 
         assert isinstance(a_op, DiaOperator), "cg_mixed requires a DIA operator"
         assert b_op is None or isinstance(b_op, DiagOperator), \
             "cg_mixed requires B = None or diagonal"
         use_pallas = jax.default_backend() == "tpu"
-        a32 = a_op.values.astype(jnp.float32)
+        # df64 operators already store the f32 hi plane — no reconstruct+cast
+        a32 = a_op.values_hi if isinstance(a_op, DiaDF64Operator) \
+            else a_op.values.astype(jnp.float32)
         offs = a_op.offsets
         b32 = None if b_op is None else b_op.d.astype(jnp.float32)
         s32 = sigma.astype(jnp.float32)
@@ -331,7 +343,8 @@ def _compute_w(a_op, b_op, v, ritz, ss_eval, act_idx, act_cnt, sigma,
         niters, final_res = info.niters, info.final_res
     q = v[:, : size_x + bs]
     bmv = None if b_op is None else b_op.matvec
-    w, w_cnt = orth_block_against(w, q, bmv, zero_tol=zero_tol, passes=passes)
+    w, w_cnt = orth_block_against(w, q, bmv, zero_tol=zero_tol, passes=passes,
+                                  method=orth_method)
     v = v.at[:, size_x + bs:].set(w)
     return v, w_cnt, niters, final_res
 
@@ -463,7 +476,8 @@ def _check_convergence_traced(res, ss_eval, c0, scan_from, nev_conv_prev,
     static_argnames=("size_x", "bs", "cg", "zero_tol", "passes", "cg_order",
                      "linear_solver", "max_steps", "tol_abs", "tol_rel",
                      "gap_min", "auto_shift", "shift", "rr_backend",
-                     "mixed", "refine", "precond", "check_max"),
+                     "mixed", "refine", "precond", "check_max",
+                     "orth_method"),
 )
 def _gcg_chunk(a_op, b_op, v, ritz, ss_eval, ss_evec, h,
                act_idx, act_cnt, nev_conv, num_iter, nev_target,
@@ -472,7 +486,8 @@ def _gcg_chunk(a_op, b_op, v, ritz, ss_eval, ss_evec, h,
                max_steps: int, tol_abs: float, tol_rel: float,
                gap_min: float, auto_shift: bool, shift: float,
                rr_backend: str = "auto", mixed: bool = False,
-               refine: int = 2, precond=None, check_max: int = 0):
+               refine: int = 2, precond=None, check_max: int = 0,
+               orth_method: str = "evp"):
     """Run up to ``max_steps`` full GCG iterations on device; exits early when
     ``nev_conv >= nev_target`` or the subspace stagnates (P and W deflated)."""
     m = size_x + 2 * bs
@@ -503,7 +518,8 @@ def _gcg_chunk(a_op, b_op, v, ritz, ss_eval, ss_evec, h,
 
         # ---- ComputeP from the PREVIOUS active set ----
         v_p, c_p, p_cnt, h_pp = _compute_p(
-            v, ss_evec, h, act_idx, act_cnt, size_x, bs, zero_tol, passes)
+            v, ss_evec, h, act_idx, act_cnt, size_x, bs, zero_tol, passes,
+            orth_method)
         p_cnt = jnp.where(first, jnp.int32(0), p_cnt)
         h_pp = jnp.where(first, jnp.zeros_like(h_pp), h_pp)
         pmask = (jnp.arange(bs) < p_cnt).astype(v.dtype)
@@ -522,7 +538,7 @@ def _gcg_chunk(a_op, b_op, v, ritz, ss_eval, ss_evec, h,
         v, w_cnt, cg_iters, cg_res = _compute_w(
             a_op, b_op, v, ritz, ss_eval, act_new, cnt_new, sigma,
             size_x, bs, cg, zero_tol, passes, cg_order, linear_solver,
-            mixed, refine, precond)
+            mixed, refine, precond, orth_method)
 
         # ---- RayleighRitz + RitzVec ----
         ss_eval, ss_evec, h, ritz = _rayleigh_ritz(
@@ -612,7 +628,8 @@ def _check_convergence_host(
 # --------------------------------------------------------------------------
 
 
-def _init_x(a_op, b_op, x0, size_x, n, dtype, key, zero_tol, passes):
+def _init_x(a_op, b_op, x0, size_x, n, dtype, key, zero_tol, passes,
+            orth_method: str = "evp"):
     """InitializeX (``ops_eig_sol_gcg.c:101-158``): keep user vectors, fill
     with random, B-orthonormalize; re-randomize dependent columns until the
     block has full rank."""
@@ -625,7 +642,8 @@ def _init_x(a_op, b_op, x0, size_x, n, dtype, key, zero_tol, passes):
         x = jax.random.uniform(key, (n, size_x), dtype=dtype, minval=-1, maxval=1)
     bmv = None if b_op is None else b_op.matvec
     for trial in range(5):
-        x, rank = orth_block(x, bmv, zero_tol=zero_tol, passes=passes)
+        x, rank = orth_within(x, bmv, zero_tol=zero_tol, passes=passes,
+                              method=orth_method)
         r = int(rank)
         if r == size_x:
             return x
@@ -685,7 +703,7 @@ def gcg_solve(
     t_start = time.perf_counter()
     x0 = _shard(x0) if x0 is not None else None
     x = timed("initX", _init_x, a_op, b_op, x0, size_x, n, dtype, key,
-              p.orth_zero_tol, p.orth_passes)
+              p.orth_zero_tol, p.orth_passes, p.orth_method)
     m = size_x + 2 * bs
     v = _shard(jnp.zeros((n, m), dtype)).at[:, :size_x].set(_shard(x))
     ss_eval, ss_evec, h, ritz, v = timed("compRR", _initial_rr, a_op, v,
@@ -718,7 +736,7 @@ def gcg_solve(
                 size_x, bs, cg, p.orth_zero_tol, p.orth_passes, p.cg_order,
                 p.linear_solver, p.fuse, p.tol_abs, p.tol_rel, p.gap_min,
                 p.cg_auto_shift, p.cg_shift, p.rr_backend, p.cg_mixed,
-                p.cg_refine, p.linear_precond, p.check_max,
+                p.cg_refine, p.linear_precond, p.check_max, p.orth_method,
             )
             nev_conv = int(nev_conv_d)
             num_iter = int(num_iter_d)
@@ -838,7 +856,7 @@ def gcg_solve(
             v, c_p, p_cnt, h_pp = timed(
                 "compP", _compute_p, v, ss_evec, h,
                 jnp.asarray(act_idx_prev), jnp.int32(act_cnt_prev),
-                size_x, bs, p.orth_zero_tol, p.orth_passes,
+                size_x, bs, p.orth_zero_tol, p.orth_passes, p.orth_method,
             )
 
         # ---- ComputeX ----------------------------------------------------
@@ -856,7 +874,7 @@ def gcg_solve(
             jnp.asarray(act_idx), jnp.int32(act_cnt),
             jnp.asarray(sigma, dtype), size_x, bs, cg,
             p.orth_zero_tol, p.orth_passes, p.cg_order, p.linear_solver,
-            p.cg_mixed, p.cg_refine, p.linear_precond,
+            p.cg_mixed, p.cg_refine, p.linear_precond, p.orth_method,
         )
         jax.block_until_ready(v)
         timers["compW"] += time.perf_counter() - t0

@@ -133,6 +133,28 @@ def _ns_polish(x, b_matvec=None):
     return x @ (1.5 * jnp.eye(m, dtype=x.dtype) - 0.5 * g)
 
 
+def orth_within(x, b_matvec=None, zero_tol: float = 1e-13, passes: int = 2,
+                ref_scale2=None, method: str = "evp"):
+    """In-block B-orthonormalization dispatcher.
+
+    ``method`` mirrors the reference's orth-method selection
+    (``ops_orth.h:36-41`` / ``-gcge_*_orth_method`` flags): ``'evp'`` —
+    :func:`orth_block` (the TPU default, Gram-eigh recombination);
+    ``'bgs'`` — :func:`bgs_orth` (binary split); ``'mgs'`` —
+    :func:`mgs_orth` (column-wise modified Gram-Schmidt; O(m^2) traced ops,
+    use only for narrow blocks / cross-checks).
+    """
+    if method == "evp":
+        return orth_block(x, b_matvec, zero_tol=zero_tol, passes=passes,
+                          ref_scale2=ref_scale2)
+    if method == "bgs":
+        return bgs_orth(x, b_matvec, zero_tol=zero_tol, passes=passes,
+                        ref_scale2=ref_scale2)
+    if method == "mgs":
+        return mgs_orth(x, b_matvec, zero_tol=zero_tol * zero_tol)
+    raise ValueError(f"unknown orth method {method!r}")
+
+
 def orth_block_against(
     x,
     q,
@@ -140,6 +162,7 @@ def orth_block_against(
     zero_tol: float = 1e-13,
     passes: int = 2,
     ref_scale2=None,
+    method: str = "evp",
 ):
     """Full ``MultiVecOrth`` semantics: orth ``x`` against ``q`` then within.
 
@@ -157,9 +180,9 @@ def orth_block_against(
     rank = jnp.int32(x.shape[1])
     for i in range(passes):
         x = orth_against(x, q, b_matvec, passes=1)
-        x, r = orth_block(
+        x, r = orth_within(
             x, b_matvec, zero_tol=zero_tol, passes=1,
-            ref_scale2=ref_scale2 if i == 0 else None,
+            ref_scale2=ref_scale2 if i == 0 else None, method=method,
         )
         rank = jnp.minimum(rank, r)
     return x, rank

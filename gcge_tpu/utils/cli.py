@@ -100,6 +100,13 @@ def params_from_args(
             extras[tok] = _COMPAT_FLAGS[tok](argv[i + 1])
             if tok in _ORTH_TOL_FLAGS:
                 fields["orth_zero_tol"] = float(argv[i + 1])
+            if tok.endswith("_orth_method"):
+                meth = str(argv[i + 1]).lower()
+                if "bgs" in meth or meth == "b":
+                    fields["orth_method"] = "bgs"
+                elif "mgs" in meth or meth == "m":
+                    fields["orth_method"] = "mgs"
+                # 'evp'/anything else: the TPU-default EVP kernel
             i += 2
         else:
             i += 1

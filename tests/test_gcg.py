@@ -236,3 +236,27 @@ def test_cross_validate_vs_scipy_lobpcg(rng):
     w, _ = lobpcg(a_s, x0, largest=False, tol=1e-10, maxiter=500)
     assert res.nev_conv >= 8
     np.testing.assert_allclose(res.eval[:8], np.sort(w)[:8], rtol=1e-8)
+
+
+def test_gcg_orth_method_variants():
+    """GCG converges identically under the EVP / BGS orthogonalizers and
+    accepts the reference's -gcge_*_orth_method flag values (ops_orth.h)."""
+    from gcge_tpu.ops.operators import make_operator
+    from gcge_tpu.utils.cli import params_from_args
+    from tests.conftest import laplacian_1d, laplacian_1d_eigs
+
+    n = 600
+    a, _ = laplacian_1d(n)
+    rows, cols = np.nonzero(a)
+    op = make_operator(rows, cols, a[rows, cols], a.shape)
+    exact = laplacian_1d_eigs(n)[:5]
+    for method in ("evp", "bgs"):
+        p = GCGParams(nev=5, block_size=3, verbose=0, orth_method=method)
+        res = gcg_solve(op, None, p)
+        assert res.nev_conv >= 5, method
+        np.testing.assert_allclose(res.eval[:5], exact, rtol=1e-8,
+                                   err_msg=method)
+    p, _ = params_from_args(["-gcge_compW_orth_method", "bgs"])
+    assert p.orth_method == "bgs"
+    p, _ = params_from_args(["-gcge_compW_orth_method", "mgs"])
+    assert p.orth_method == "mgs"
