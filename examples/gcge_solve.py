@@ -135,8 +135,19 @@ def main(argv):
         jax.profiler.stop_trace()
         print(f"profiler trace written to {profile_dir}")
     print(f"\nconverged {result.nev_conv} eigenpairs in {result.num_iter} iterations")
-    for i, lam in enumerate(result.eval[: min(result.nev_conv or params.nev, 50)]):
+    # -gcge_print_eval N: cap on printed eigenvalues (reference flag,
+    # ops_eig_sol_gcg.c usage block); -gcge_print_evec 1 additionally dumps
+    # the leading entries of each Ritz vector
+    n_print = extras.get("-gcge_print_eval",
+                         get_flag(argv, "-gcge_print_eval", 50, int))
+    for i, lam in enumerate(result.eval[: min(result.nev_conv or params.nev,
+                                              n_print)]):
         print(f"  [{i}] {lam:.14e}")
+    if extras.get("-gcge_print_evec", 0):
+        ev = np.asarray(result.evec)
+        for i in range(min(result.nev_conv or params.nev, n_print)):
+            head = " ".join(f"{v:+.6e}" for v in ev[:6, i])
+            print(f"  evec[{i}][:6] = {head}")
     return result
 
 
