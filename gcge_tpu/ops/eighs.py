@@ -235,17 +235,32 @@ def eigh_newton(h, iters: int = 3, theta: float = 1e-4, cap: int = 64,
         h1 = gram(u, _acc_matmul_sym(h, u))
         return 0.5 * (h1 + h1.T)
 
-    for _ in range(iters):
+    # refinement loop with early exit: when the warm start is already
+    # accurate (true-f64 hosts) the masked coupling is at rounding level on
+    # entry and the loop body runs zero or one time
+    off_floor = jnp.asarray(1e-14, h.dtype) * scale
+
+    def step(st):
+        u, k, _ = st
         h1 = h1_of(u)
         d = jnp.diagonal(h1)
         delta = d[None, :] - d[:, None]          # delta[j, i] = d_i - d_j
         mask = jnp.abs(delta) > gap_tol
         e = jnp.where(mask, h1 / jnp.where(mask, delta, 1.0), 0.0)
+        off = jnp.max(jnp.abs(jnp.where(mask, h1, 0.0)))
         u = u @ (eye + e)
         # one Newton-Schulz orthonormality step (I + E is orthogonal to
         # first order; this removes the second-order drift)
         g = gram(u, u)
         u = u @ (1.5 * eye - 0.5 * g)
+        return u, k + 1, off
+
+    def keep_going(st):
+        _, k, off = st
+        return (k < iters) & (off > off_floor)
+
+    u, _, _ = jax.lax.while_loop(
+        keep_going, step, (u, jnp.int32(0), jnp.full((), jnp.inf, h.dtype)))
 
     h1 = h1_of(u)
     d = jnp.diagonal(h1)

@@ -160,3 +160,41 @@ def test_dia_df64_in_gcg(rng):
     exact = (2.0 / h) * (1.0 - np.cos(k * np.pi * h))
     assert res.nev_conv >= 8
     assert np.abs(res.eval[:8] - exact).max() < 1e-7 * exact.max()
+
+
+# ---------------------------------------------------------------------------
+# soak: adversarial spectra (ROADMAP robustness item)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("spectrum", [
+    "wide",        # 12 decades of dynamic range
+    "tiny-noise",  # near-rank-deficient Gram-like: 1e-13..2
+    "negative",    # indefinite, clustered at both ends
+    "scaled-up",   # large magnitudes (overflow-edge guard in the rotations)
+])
+def test_eigh_soak_adversarial(rng, spectrum):
+    m = 80
+    if spectrum == "wide":
+        lam = np.logspace(-6, 6, m)
+    elif spectrum == "tiny-noise":
+        lam = np.concatenate([np.full(6, 1e-13), np.linspace(0.5, 2.0, m - 6)])
+    elif spectrum == "negative":
+        lam = np.concatenate([np.full(5, -3.0), np.linspace(-1, 1, m - 10),
+                              np.full(5, 3.0)])
+    else:
+        lam = np.linspace(1e8, 5e8, m)
+    lam = np.sort(lam)
+    q, _ = np.linalg.qr(rng.standard_normal((m, m)))
+    h = q @ np.diag(lam) @ q.T
+    h = 0.5 * (h + h.T)
+    scale = np.abs(lam).max()
+    for fn in (safe_eigh, eigh_jacobi, eigh_newton):
+        w, u = fn(jnp.asarray(h))
+        w, u = np.asarray(w), np.asarray(u)
+        assert np.isfinite(w).all() and np.isfinite(u).all(), fn.__name__
+        assert np.abs(h @ u - u * w[None, :]).max() < 1e-10 * scale, fn.__name__
+        assert np.abs(u.T @ u - np.eye(m)).max() < 1e-10, fn.__name__
+        # eigenvalues correct to the shift-retry floor (safe_eigh's base
+        # Tikhonov shift is 1e-10*scale)
+        assert np.abs(w - lam).max() < 1e-8 * scale, fn.__name__
