@@ -8,6 +8,8 @@ from gcge_tpu.parallel.mesh import (
     shard_rows,
 )
 from gcge_tpu.parallel.dist_ops import RowShardedOperator, shard_operator
+from gcge_tpu.parallel.dist_mg import (ProlongOperator, RestrictOperator,
+                                       shard_hierarchy)
 from gcge_tpu.parallel.multihost import (
     bootstrap,
     dia_from_host_blocks,
@@ -26,6 +28,9 @@ __all__ = [
     "pad_problem",
     "RowShardedOperator",
     "shard_operator",
+    "shard_hierarchy",
+    "ProlongOperator",
+    "RestrictOperator",
     "bootstrap",
     "hybrid_row_mesh",
     "mv_from_host_blocks",

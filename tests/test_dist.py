@@ -295,3 +295,58 @@ def test_bootstrap_single_process():
 
     pid, pcount = bootstrap()
     assert pid == 0 and pcount == 1
+
+
+# ---------------------------------------------------------------------------
+# distributed multigrid (sharded fine level, replicated coarse levels)
+# ---------------------------------------------------------------------------
+
+
+def test_distributed_bamg_matches_local(mesh, rng):
+    from gcge_tpu.parallel.dist_mg import shard_hierarchy
+    from gcge_tpu.solvers.multigrid import bamg_solve, build_hierarchy
+
+    n = 512
+    a, _ = laplacian_1d(n)
+    rows, cols = np.nonzero(a)
+    hier = build_hierarchy(rows, cols, a[rows, cols], n, max_levels=3)
+    hier_d = shard_hierarchy(hier, mesh)
+
+    x_true = rng.standard_normal((n, 4))
+    b = jnp.asarray(a @ x_true)
+    x_loc, it_l, rel_l = bamg_solve(hier, b, max_cycles=25, rtol=1e-10)
+    x_dist, it_d, rel_d = bamg_solve(hier_d, shard_rows(mesh, b),
+                                     max_cycles=25, rtol=1e-10)
+    assert float(np.max(np.asarray(rel_d))) < 1e-10
+    np.testing.assert_allclose(np.asarray(x_dist), x_true, atol=1e-7)
+    # same algorithm on both layouts: identical cycle counts
+    assert it_d == it_l
+    # Chebyshev smoothing (zero smoother collectives) also works distributed
+    x_ch, _, rel_ch = bamg_solve(hier_d, shard_rows(mesh, b), max_cycles=30,
+                                 rtol=1e-10, smoother="chebyshev")
+    assert float(np.max(np.asarray(rel_ch))) < 1e-10
+    # rtol 1e-10 on the residual bounds the error by ~||b||*rtol/lam_min
+    np.testing.assert_allclose(np.asarray(x_ch), x_true, atol=1e-6)
+
+
+def test_distributed_gcg_with_bamg_preconditioner(mesh):
+    """Distributed GCG + distributed AMG-preconditioned inner CG — the full
+    reference stack (GCG + BAMG over MPI) on a mesh."""
+    from gcge_tpu.parallel.dist_mg import shard_hierarchy
+    from gcge_tpu.solvers.multigrid import bamg_preconditioner, build_hierarchy
+
+    n = 512
+    a, _ = laplacian_1d(n)
+    rows, cols = np.nonzero(a)
+    vals = a[rows, cols]
+    hier_d = shard_hierarchy(
+        build_hierarchy(rows, cols, vals, n, max_levels=3), mesh)
+    op = shard_operator(SparseOperator.from_coo(rows, cols, vals, a.shape),
+                        mesh)
+    params = GCGParams(nev=5, block_size=3, verbose=0, cg_max_iter=8,
+                       tol_rel=1e-9,
+                       linear_precond=bamg_preconditioner(hier_d))
+    res = gcg_solve(op, None, params, mesh=mesh)
+    assert res.nev_conv >= 5
+    np.testing.assert_allclose(res.eval[:5], laplacian_1d_eigs(n)[:5],
+                               rtol=1e-8)
