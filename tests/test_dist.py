@@ -350,3 +350,23 @@ def test_distributed_gcg_with_bamg_preconditioner(mesh):
     assert res.nev_conv >= 5
     np.testing.assert_allclose(res.eval[:5], laplacian_1d_eigs(n)[:5],
                                rtol=1e-8)
+
+
+def test_distributed_pas(mesh):
+    """Multilevel PAS on a distributed hierarchy: coarse GCG replicated,
+    fine-level corrections and augmented RR sharded — the reference's full
+    multilevel stack (PAS + BAMG + GCG over MPI) on a mesh."""
+    from gcge_tpu.parallel.dist_mg import shard_hierarchy
+    from gcge_tpu.solvers.multigrid import build_hierarchy
+    from gcge_tpu.solvers.pas import pas_solve
+
+    n, nev = 512, 4
+    a, _ = laplacian_1d(n)
+    rows, cols = np.nonzero(a)
+    hier_d = shard_hierarchy(
+        build_hierarchy(rows, cols, a[rows, cols], n, max_levels=3), mesh)
+    res = pas_solve(hier_d, nev, verbose=0, final_sweeps=10, bamg_cycles=6,
+                    tol_rel=1e-7)
+    assert res.nev_conv >= nev
+    np.testing.assert_allclose(res.eval, laplacian_1d_eigs(n)[:nev],
+                               rtol=1e-6)
