@@ -120,6 +120,13 @@ class GCGParams:
     # TPU endpoints); fuse = 0 keeps one dispatch per phase and the
     # reference-style per-phase timer table.
     fuse: int = 0
+    # periodic checkpointing (an improvement over the reference, which only
+    # supports warm start — SURVEY.md §5): write eval/ritz/nev_conv to
+    # checkpoint_path every checkpoint_every completed iterations (fused
+    # path: after every chunk).  Resume by loading
+    # utils.checkpoint.load_checkpoint and passing evec as x0.
+    checkpoint_path: Any = None
+    checkpoint_every: int = 0
     # Projected-eigenproblem backend (gcge_tpu.ops.eighs.eigh): 'auto' picks
     # 'jacobi' (device eigh + Jacobi polish — required for f64 accuracy on
     # TPU, where plain eigh has f32-level eigen-residuals) on TPU and plain
@@ -699,6 +706,20 @@ def gcg_solve(
         from gcge_tpu.parallel.mesh import shard_mv
         return shard_mv(mesh, arr)
 
+    last_ckpt = [0]
+
+    def _maybe_ckpt(it_total, ritz, ss_eval, nev_conv):
+        if not p.checkpoint_path or p.checkpoint_every <= 0:
+            return
+        if it_total - last_ckpt[0] < p.checkpoint_every:
+            return
+        last_ckpt[0] = it_total
+        from gcge_tpu.utils.checkpoint import save_checkpoint
+        snap = GCGResult(eval=np.asarray(ss_eval)[:size_x], evec=ritz,
+                         nev_conv=int(nev_conv), num_iter=int(it_total),
+                         res_norms=np.zeros(0), timers=dict(timers))
+        save_checkpoint(p.checkpoint_path, snap, p)
+
     # ---- InitializeX + first RR -----------------------------------------
     t_start = time.perf_counter()
     x0 = _shard(x0) if x0 is not None else None
@@ -743,6 +764,8 @@ def gcg_solve(
             stall = int(stall_d)
             res_h = np.asarray(res_d)
             history.append((num_iter, nev_conv))
+            _maybe_ckpt(num_iter + (p.max_iter - iter_budget), ritz, ss_eval,
+                        nev_conv)
             if p.verbose:
                 print(f"{num_iter}\t{nev_conv}\t(res window max {res_h.max():.4e})")
             if nev_conv >= nev_target:
@@ -809,6 +832,8 @@ def gcg_solve(
                       f"[{first_unconv}] {ss_eval_h[first_unconv]:.14e} "
                       f"(res window max {res_h.max():.4e})")
             history.append((num_iter, nev_conv))
+            _maybe_ckpt(num_iter + (p.max_iter - iter_budget), ritz, ss_eval,
+                        nev_conv)
         else:
             ss_eval_h = np.asarray(ss_eval)
             c0 = nev_conv

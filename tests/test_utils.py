@@ -48,3 +48,40 @@ def test_checkpoint_resume(tmp_path):
     assert res2.nev_conv >= nev
     np.testing.assert_allclose(res2.eval[:nev], laplacian_1d_eigs(n)[:nev], rtol=1e-7)
     assert res2.num_iter <= res.num_iter
+
+
+def test_mid_solve_checkpoint_and_resume(tmp_path):
+    """Periodic checkpointing during the solve + warm-started resume."""
+    import jax.numpy as jnp
+
+    from gcge_tpu.ops.operators import make_operator
+    from gcge_tpu.solvers.gcg import GCGParams, gcg_solve
+    from gcge_tpu.utils.checkpoint import load_checkpoint
+    from tests.conftest import laplacian_1d, laplacian_1d_eigs
+
+    n = 400
+    a, _ = laplacian_1d(n)
+    rows, cols = np.nonzero(a)
+    op = make_operator(rows, cols, a[rows, cols], a.shape)
+    ck = str(tmp_path / "gcg_ck.npz")
+
+    # run a few iterations only, checkpointing every 2
+    p1 = GCGParams(nev=5, block_size=3, max_iter=6, verbose=0,
+                   checkpoint_path=ck, checkpoint_every=2)
+    gcg_solve(op, None, p1)
+    ev, evec, nev_conv, meta = load_checkpoint(ck)
+    assert evec.shape[0] == n and meta["nev"] == 5
+
+    # resume from the checkpointed Ritz vectors: must converge quickly
+    p2 = GCGParams(nev=5, block_size=3, max_iter=60, verbose=0)
+    res = gcg_solve(op, None, p2, x0=evec[:, :5])
+    assert res.nev_conv >= 5
+    np.testing.assert_allclose(res.eval[:5], laplacian_1d_eigs(n)[:5],
+                               rtol=1e-7)
+
+    # fused path checkpoints per chunk
+    p3 = GCGParams(nev=5, block_size=3, max_iter=6, verbose=0, fuse=3,
+                   checkpoint_path=ck, checkpoint_every=1)
+    gcg_solve(op, None, p3)
+    ev2, _, _, _ = load_checkpoint(ck)
+    assert np.isfinite(ev2).all()
