@@ -76,7 +76,9 @@ def solve(
     rcm : reverse-Cuthill-McKee reorder first (native toolkit) — concentrates
         irregular patterns onto few diagonals so the gather-free DIA kernel
         applies; eigenvectors are returned in the ORIGINAL ordering.
-    distribute : row-shard over all visible devices (``jax.sharding.Mesh``).
+    distribute : ``True``/``'rows'`` — row-shard over all visible devices;
+        ``'grid'`` — 2-D rows x cols mesh (basis sharded over BOTH axes, for
+        very wide eigenspaces); ``False`` — single device.
     params : a prebuilt :class:`~gcge_tpu.solvers.gcg.GCGParams`; otherwise one
         is assembled from ``nev`` and ``**kwargs`` (e.g. ``block_size=...,
         tol_rel=..., max_iter=...`` — the mex argument list).
@@ -111,13 +113,18 @@ def solve(
 
     mesh = None
     if distribute:
-        from gcge_tpu.parallel import pad_problem, row_mesh, shard_operator
+        from gcge_tpu.parallel import (grid_mesh, pad_problem, row_mesh,
+                                       shard_operator)
 
         n_dev = len(jax.devices())
         if n_dev > 1:
-            mesh = row_mesh(n_dev)
-            n_orig = a_op.shape[0]
-            a_op, b_op, _ = pad_problem(a_op, b_op, n_dev)
+            if distribute == "grid" and n_dev % 2 == 0 and n_dev >= 4:
+                mesh = grid_mesh(n_dev // 2, 2)
+                n_rows_dev = n_dev // 2
+            else:
+                mesh = row_mesh(n_dev)
+                n_rows_dev = n_dev
+            a_op, b_op, _ = pad_problem(a_op, b_op, n_rows_dev)
             a_op = shard_operator(a_op, mesh)
             b_op = shard_operator(b_op, mesh) if b_op is not None else None
 

@@ -171,3 +171,26 @@ def test_safe_eigh_shift_restore():
     assert not np.isnan(w).any() and not np.isnan(u).any()
     np.testing.assert_allclose(w, w_ref, atol=1e-11)
     np.testing.assert_allclose(u.T @ u, np.eye(24), atol=1e-11)
+
+
+def test_solve_distribute_grid(rng):
+    """distribute='grid' routes through the 2-D rows x cols mesh."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 devices")
+    import scipy.sparse as sps
+
+    import gcge_tpu
+
+    n = 500
+    h = 1.0 / (n + 1)
+    a = sps.diags([np.full(n - 1, -1 / h), np.full(n, 2 / h),
+                   np.full(n - 1, -1 / h)], [-1, 0, 1]).tocsr()
+    ev, vec, nc = gcge_tpu.solve(a, None, nev=5, block_size=3, verbose=0,
+                                 distribute="grid")
+    k = np.arange(1, 6)
+    exact = (2.0 / h) * (1.0 - np.cos(k * np.pi * h))
+    assert nc >= 5
+    np.testing.assert_allclose(ev[:5], exact, rtol=1e-7)
