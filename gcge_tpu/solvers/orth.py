@@ -148,11 +148,19 @@ def orth_within(x, b_matvec=None, zero_tol: float = 1e-13, passes: int = 2,
         return orth_block(x, b_matvec, zero_tol=zero_tol, passes=passes,
                           ref_scale2=ref_scale2)
     if method == "bgs":
-        return bgs_orth(x, b_matvec, zero_tol=zero_tol, passes=passes,
-                        ref_scale2=ref_scale2)
-    if method == "mgs":
-        return mgs_orth(x, b_matvec, zero_tol=zero_tol * zero_tol)
-    raise ValueError(f"unknown orth method {method!r}")
+        x, rank = bgs_orth(x, b_matvec, zero_tol=zero_tol, passes=passes,
+                           ref_scale2=ref_scale2)
+    elif method == "mgs":
+        x, rank = mgs_orth(x, b_matvec, zero_tol=zero_tol * zero_tol)
+    else:
+        raise ValueError(f"unknown orth method {method!r}")
+    # bgs/mgs zero dependent columns IN PLACE (like the reference's column
+    # swap-to-back, ops_orth.c:63-74); GCG's count-based masks assume the
+    # valid columns are COMPACTED at the front (the EVP kernel's layout), so
+    # stable-sort the exact-zero columns to the back
+    nonzero = col_dots(x, x) > 0
+    order = jnp.argsort(~nonzero, stable=True)
+    return jnp.take(x, order, axis=1), rank
 
 
 def orth_block_against(

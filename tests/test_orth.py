@@ -92,3 +92,24 @@ def test_mgs_matches_evp_span(rng):
     p1 = np.asarray(q1) @ np.asarray(q1).T
     p2 = np.asarray(q2) @ np.asarray(q2).T
     np.testing.assert_allclose(p1, p2, atol=1e-10)
+
+
+def test_orth_within_compacts_deflated_columns(rng):
+    """bgs/mgs zero dependent columns in place; orth_within must compact
+    them to the back so GCG's count-based masks stay valid."""
+    import jax.numpy as jnp
+
+    from gcge_tpu.solvers.orth import orth_within
+
+    n, m = 200, 8
+    x = rng.standard_normal((n, m))
+    x[:, 3] = x[:, 1]          # duplicate -> one column deflates mid-block
+    x[:, 6] = 2 * x[:, 0]
+    for method in ("evp", "bgs", "mgs"):
+        q, rank = orth_within(jnp.asarray(x), method=method, zero_tol=1e-10)
+        q, r = np.asarray(q), int(rank)
+        assert r == 6, (method, r)
+        # first r columns orthonormal, trailing columns exactly zero
+        np.testing.assert_allclose(q[:, :r].T @ q[:, :r], np.eye(r),
+                                   atol=5e-12, err_msg=method)
+        assert np.abs(q[:, r:]).max() == 0.0, method
