@@ -62,6 +62,8 @@ def solve(
     *,
     rcm: bool = False,
     distribute: bool = False,
+    multigrid: bool | int = False,
+    method: str = "gcg",
     x0=None,
     params=None,
     **kwargs: Any,
@@ -79,6 +81,14 @@ def solve(
     distribute : ``True``/``'rows'`` — row-shard over all visible devices;
         ``'grid'`` — 2-D rows x cols mesh (basis sharded over BOTH axes, for
         very wide eigenspaces); ``False`` — single device.
+    multigrid : build a smoothed-aggregation AMG hierarchy from the sparse
+        input and precondition the inner block CG with one Chebyshev-smoothed
+        V-cycle (the reference's flag=2 'external solver preconditions BPCG'
+        mode, here fully automatic).  Pass an int to cap the level count
+        (default 4).  Requires sparse ``a`` (and sparse/None ``b``).
+    method : ``'gcg'`` (default) or ``'pas'`` — the multilevel Parallel
+        Augmented Subspace solver (needs ``multigrid``; solves on the
+        coarsest grid and corrects down the hierarchy).
     params : a prebuilt :class:`~gcge_tpu.solvers.gcg.GCGParams`; otherwise one
         is assembled from ``nev`` and ``**kwargs`` (e.g. ``block_size=...,
         tol_rel=..., max_iter=...`` — the mex argument list).
@@ -111,6 +121,37 @@ def solve(
     a_op, perm = _as_operator(a, dtype, rcm, perm)
     b_op, _ = _as_operator(b, dtype, rcm, perm)
 
+    # ---- optional AMG hierarchy from the sparse input --------------------
+    hier = None
+    if multigrid or method == "pas":
+        import scipy.sparse as sps
+
+        assert sps.issparse(a), "multigrid/pas need a scipy-sparse A"
+        max_levels = multigrid if isinstance(multigrid, int) and \
+            multigrid > 1 else 4
+        coo = a.tocoo()
+        rows_h, cols_h, vals_h = coo.row, coo.col, coo.data
+        if perm is not None:
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(len(perm))
+            rows_h, cols_h = inv[rows_h], inv[cols_h]
+        b_vals_h = None
+        if b is not None and sps.issparse(b):
+            bcoo = sps.coo_matrix(b)
+            # build_hierarchy requires the same pattern; densify onto A's
+            # pattern when needed
+            if bcoo.nnz == coo.nnz:
+                b_vals_h = bcoo.data
+        from gcge_tpu.solvers.multigrid import (bamg_preconditioner,
+                                                build_hierarchy)
+
+        hier = build_hierarchy(rows_h, cols_h, vals_h, coo.shape[0],
+                               b_vals=b_vals_h, max_levels=max_levels)
+        if method != "pas" and not distribute:
+            params = type(params)(**{
+                **params.__dict__,
+                "linear_precond": bamg_preconditioner(hier)})
+
     mesh = None
     if distribute:
         from gcge_tpu.parallel import (grid_mesh, pad_problem, row_mesh,
@@ -127,8 +168,24 @@ def solve(
             a_op, b_op, _ = pad_problem(a_op, b_op, n_rows_dev)
             a_op = shard_operator(a_op, mesh)
             b_op = shard_operator(b_op, mesh) if b_op is not None else None
+            if hier is not None and method != "pas":
+                from gcge_tpu.parallel.dist_mg import shard_hierarchy
+                from gcge_tpu.solvers.multigrid import bamg_preconditioner
 
-    res = gcg_solve(a_op, b_op, params, x0=x0, mesh=mesh)
+                if hier.levels[0].a_op.shape[0] % n_rows_dev == 0:
+                    hier = shard_hierarchy(hier, mesh)
+                params = type(params)(**{
+                    **params.__dict__,
+                    "linear_precond": bamg_preconditioner(hier)})
+
+    if method == "pas":
+        from gcge_tpu.solvers.pas import pas_solve
+
+        res = pas_solve(hier, params.nev, tol_rel=params.tol_rel,
+                        verbose=params.verbose, final_sweeps=16,
+                        bamg_cycles=8)
+    else:
+        res = gcg_solve(a_op, b_op, params, x0=x0, mesh=mesh)
     evec = res.evec
     n = a.shape[0] if hasattr(a, "shape") else evec.shape[0]
     evec = evec[:n]

@@ -194,3 +194,27 @@ def test_solve_distribute_grid(rng):
     exact = (2.0 / h) * (1.0 - np.cos(k * np.pi * h))
     assert nc >= 5
     np.testing.assert_allclose(ev[:5], exact, rtol=1e-7)
+
+
+def test_solve_multigrid_and_pas(rng):
+    """One-call AMG-preconditioned GCG and the PAS path."""
+    import scipy.sparse as sps
+
+    import gcge_tpu
+
+    n = 800
+    h = 1.0 / (n + 1)
+    a = sps.diags([np.full(n - 1, -1 / h), np.full(n, 2 / h),
+                   np.full(n - 1, -1 / h)], [-1, 0, 1]).tocsr()
+    k = np.arange(1, 6)
+    exact = (2.0 / h) * (1.0 - np.cos(k * np.pi * h))
+
+    ev, _, nc = gcge_tpu.solve(a, None, nev=5, block_size=3, verbose=0,
+                               cg_max_iter=8, multigrid=True)
+    assert nc >= 5
+    np.testing.assert_allclose(ev[:5], exact, rtol=1e-7)
+
+    ev2, _, nc2 = gcge_tpu.solve(a, None, nev=5, verbose=0, method="pas",
+                                 tol_rel=1e-7)
+    assert nc2 >= 5
+    np.testing.assert_allclose(ev2[:5], exact, rtol=1e-6)
