@@ -137,11 +137,21 @@ def solve(
             rows_h, cols_h = inv[rows_h], inv[cols_h]
         b_vals_h = None
         if b is not None and sps.issparse(b):
-            bcoo = sps.coo_matrix(b)
-            # build_hierarchy requires the same pattern; densify onto A's
-            # pattern when needed
-            if bcoo.nnz == coo.nnz:
-                b_vals_h = bcoo.data
+            # build_hierarchy takes B on A's sparsity pattern; project the
+            # B entries onto it (entries of B outside A's pattern would be
+            # dropped — reject that instead of silently mis-coarsening)
+            bcsr = sps.csr_matrix(b)
+            pattern = sps.csr_matrix(
+                (np.ones(coo.nnz), (rows_h, cols_h)), shape=coo.shape)
+            outside = (abs(bcsr) - abs(bcsr).multiply(pattern)).count_nonzero()
+            assert outside == 0, (
+                "multigrid/pas: B has nonzeros outside A's pattern")
+            b_on_a = np.asarray(
+                bcsr[rows_h, cols_h]).ravel()
+            b_vals_h = b_on_a
+        elif b is not None and method == "pas":
+            raise ValueError("method='pas' with B needs a scipy-sparse B "
+                             "on A's sparsity pattern")
         from gcge_tpu.solvers.multigrid import (bamg_preconditioner,
                                                 build_hierarchy)
 

@@ -218,3 +218,24 @@ def test_solve_multigrid_and_pas(rng):
                                  tol_rel=1e-7)
     assert nc2 >= 5
     np.testing.assert_allclose(ev2[:5], exact, rtol=1e-6)
+
+
+def test_solve_pas_generalized(rng):
+    """One-call PAS on a generalized FEM pencil (B on A's pattern)."""
+    import scipy.sparse as sps
+
+    import gcge_tpu
+    from gcge_tpu.io.fem import cube_fem_laplacian
+
+    rows, cols, a_vals, b_vals, n = cube_fem_laplacian(7)
+    a = sps.coo_matrix((a_vals, (rows, cols)), shape=(n, n)).tocsr()
+    b = sps.coo_matrix((b_vals, (rows, cols)), shape=(n, n)).tocsr()
+    ev, _, nc = gcge_tpu.solve(a, b, nev=3, verbose=0, method="pas",
+                               tol_rel=1e-6)
+    # oracle: scipy dense generalized eigensolve
+    import scipy.linalg
+
+    exact = np.sort(scipy.linalg.eigh(a.toarray(), b.toarray(),
+                                      eigvals_only=True))[:3]
+    assert nc >= 3
+    np.testing.assert_allclose(ev[:3], exact, rtol=1e-5)
