@@ -207,19 +207,29 @@ def _acc_matmul_sym(h, u):
 
 
 @partial(jax.jit, static_argnames=("iters", "cap", "nblk", "polish_sweeps"))
-def eigh_newton(h, iters: int = 3, theta: float = 1e-4, cap: int = 64,
+def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
                 nblk: int | None = None, polish_sweeps: int = 4, warm=None):
     """Eigendecomposition of symmetric ``h`` for large m (ascending).
 
     Device-accurate on emulated-f64 TPUs like :func:`eigh_jacobi` but at
     O(m^3) per refinement step instead of O(m^4) per sweep; intended for
     projected matrices beyond a few hundred rows (huge-nev Rayleigh-Ritz).
-    ``theta`` is the relative gap below which a pair is treated as a cluster;
-    ``cap`` bounds the handled cluster size; ``nblk`` is the static budget of
-    multi-member cluster blocks (default m//2 capped at 64).  ``warm`` is an
-    optional ``(w0, u0)`` warm start (ascending, roughly orthonormal) standing
-    in for the device eigh — used by tests to reproduce the TPU's f32-level
-    backtransform error on exact-f64 hosts.
+
+    ``theta`` is the relative gap below which a pair is treated as a
+    cluster.  Default (None) = ADAPTIVE: ``gap_tol = 8 * off0`` where
+    ``off0`` is the measured off-diagonal coupling of the warm start — every
+    Newton correction then satisfies ``|E| <= 1/8`` (quadratic convergence)
+    while flagging the FEWEST possible pairs as clusters.  A fixed large
+    theta is dangerous: dense spectra (hundreds of Laplacian eigenvalues in
+    a GCG projected matrix) chain into clusters longer than ``cap``, and
+    couplings across the cap-splits stay unfixed at warm-start level —
+    observed as a 1e-7 residual floor at nev=200 before this was adaptive.
+
+    ``cap`` bounds the handled cluster size; ``nblk`` is the static budget
+    of multi-member cluster blocks (default m//2 capped at 64).  ``warm``
+    is an optional ``(w0, u0)`` warm start (ascending, roughly orthonormal)
+    standing in for the device eigh — used by tests to reproduce the TPU's
+    f32-level backtransform error on exact-f64 hosts.
     """
     from gcge_tpu.ops.multivec import gram
 
@@ -228,21 +238,28 @@ def eigh_newton(h, iters: int = 3, theta: float = 1e-4, cap: int = 64,
         nblk = max(1, min(m // 2, 64))
     w0, u = safe_eigh(h) if warm is None else warm
     scale = jnp.maximum(jnp.max(jnp.abs(w0)), jnp.asarray(1e-300, h.dtype))
-    gap_tol = jnp.asarray(theta, h.dtype) * scale
     eye = jnp.eye(m, dtype=h.dtype)
+    offmask = 1.0 - eye
 
     def h1_of(u):
         h1 = gram(u, _acc_matmul_sym(h, u))
         return 0.5 * (h1 + h1.T)
 
+    h1 = h1_of(u)
+    eps = float(jnp.finfo(h.dtype).eps)
+    if theta is None:
+        off0 = jnp.max(jnp.abs(h1 * offmask))
+        gap_tol = jnp.maximum(8.0 * off0, (64.0 * eps) * scale)
+    else:
+        gap_tol = jnp.asarray(theta, h.dtype) * scale
+
     # refinement loop with early exit: when the warm start is already
     # accurate (true-f64 hosts) the masked coupling is at rounding level on
     # entry and the loop body runs zero or one time
-    off_floor = jnp.asarray(1e-14, h.dtype) * scale
+    off_floor = jnp.asarray(32.0 * eps, h.dtype) * scale
 
     def step(st):
-        u, k, _ = st
-        h1 = h1_of(u)
+        u, h1, k, _ = st
         d = jnp.diagonal(h1)
         delta = d[None, :] - d[:, None]          # delta[j, i] = d_i - d_j
         mask = jnp.abs(delta) > gap_tol
@@ -253,16 +270,15 @@ def eigh_newton(h, iters: int = 3, theta: float = 1e-4, cap: int = 64,
         # first order; this removes the second-order drift)
         g = gram(u, u)
         u = u @ (1.5 * eye - 0.5 * g)
-        return u, k + 1, off
+        return u, h1_of(u), k + 1, off
 
     def keep_going(st):
-        _, k, off = st
+        _, _, k, off = st
         return (k < iters) & (off > off_floor)
 
-    u, _, _ = jax.lax.while_loop(
-        keep_going, step, (u, jnp.int32(0), jnp.full((), jnp.inf, h.dtype)))
+    u, h1, _, _ = jax.lax.while_loop(
+        keep_going, step, (u, h1, jnp.int32(0), jnp.full((), jnp.inf, h.dtype)))
 
-    h1 = h1_of(u)
     d = jnp.diagonal(h1)
 
     # ---- stage 2: batched cluster rotations ------------------------------

@@ -198,3 +198,28 @@ def test_eigh_soak_adversarial(rng, spectrum):
         # eigenvalues correct to the shift-retry floor (safe_eigh's base
         # Tikhonov shift is 1e-10*scale)
         assert np.abs(w - lam).max() < 1e-8 * scale, fn.__name__
+
+
+def test_eigh_newton_dense_spectrum_corrupted(rng):
+    """Regression: a GCG-like projected spectrum (hundreds of eigenvalues
+    with spacings ~1e-5 of scale) chained into >cap clusters under the old
+    fixed theta=1e-4 and plateaued at warm-start accuracy (observed as a
+    1e-7 residual floor at nev=200).  The adaptive gap_tol = 8*off0 must
+    refine it fully."""
+    m = 400
+    lam = np.sort(0.004 + 0.45 * (np.arange(m) / m) ** 1.5) * 52.0
+    # typical spacing ~1e-4..1e-3 absolute = 2e-6..2e-5 of scale (52)
+    q, _ = np.linalg.qr(rng.standard_normal((m, m)))
+    h = q @ np.diag(lam) @ q.T
+    h = 0.5 * (h + h.T)
+    w_ex, u_ex = np.linalg.eigh(h)
+    noise = 6e-7 * rng.standard_normal((m, m))
+    u0 = u_ex @ np.linalg.qr(np.eye(m) + 0.5 * (noise - noise.T))[0]
+    scale = np.abs(lam).max()
+    r0 = np.abs(h @ u0 - u0 * w_ex[None, :]).max()
+    assert r0 > 1e-6          # corrupted warm start (abs, scale=52)
+    w, u = eigh_newton(jnp.asarray(h), warm=(jnp.asarray(w_ex),
+                                             jnp.asarray(u0)))
+    w, u = np.asarray(w), np.asarray(u)
+    assert np.abs(h @ u - u * w[None, :]).max() < 1e-11 * scale
+    assert np.abs(w - lam).max() < 1e-11 * scale
