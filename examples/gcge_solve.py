@@ -105,6 +105,16 @@ def main(argv):
     if b_trip is not None:
         rb, cb, vb = b_trip
         b_op = make_operator(rb, cb, vb, (n, n))
+
+    # -shift sigma: solve (A + sigma*B) x = mu x instead (the reference
+    # driver's pre-shift, test_app_slepc.c:474-508) — functional, A is
+    # never mutated (ShiftedOperator)
+    shift = get_flag(argv, "-shift", 0.0, float)
+    if shift:
+        from gcge_tpu.ops.operators import ShiftedOperator
+
+        a_op = ShiftedOperator(a_op, b_op, shift)
+        print(f"operator shifted: A + {shift}*B")
     print(f"A layout: {type(a_op).__name__}"
           + (f", B layout: {type(b_op).__name__}" if b_op else ", B = I"))
 
