@@ -113,6 +113,14 @@ def _rr_over_span(a_op, b_op, s, nev, zero_tol=1e-13):
     return w[:nev], q @ c[:, :nev]
 
 
+@jax.jit
+def _rel_res_jit(a_op, b_op, x, lam):
+    """Blockwise relative residuals, one dispatch (remote-endpoint friendly)."""
+    bx = x if b_op is None else b_op.matvec(x)
+    r = a_op.matvec(x) - bx * lam[None, :]
+    return jnp.sqrt(col_dots(r, r)) / jnp.maximum(jnp.abs(lam), 1e-300)
+
+
 @partial(jax.jit, static_argnames=("nev", "cycles", "smooth_iters",
                                    "coarse_iters"))
 def _pas_sweep(hier_sub, a_op, b_op, x, lam, nev: int, cycles: int,
@@ -216,10 +224,7 @@ def pas_solve(
                                     bamg_cycles)
                 if level == 0:
                     # finest level: stop once the wanted residuals meet tol
-                    bx = x if b_op is None else b_op.matvec(x)
-                    r = a_op.matvec(x) - bx * lam[None, :]
-                    rel = np.asarray(jnp.sqrt(col_dots(r, r))) / \
-                        np.maximum(np.abs(np.asarray(lam)), 1e-300)
+                    rel = np.asarray(_rel_res_jit(a_op, b_op, x, lam))
                     if (rel[:nev_out] < tol_rel).all():
                         break
         history.append((level, np.asarray(lam).copy()))
@@ -227,10 +232,7 @@ def pas_solve(
             print(f"PAS level {level}: lam[0:3] = {np.asarray(lam)[:3]}")
 
     # convergence check on the finest level (ref :620-637)
-    bx = x if lvls[0].b_op is None else lvls[0].b_op.matvec(x)
-    r = lvls[0].a_op.matvec(x) - bx * lam[None, :]
-    res_norm = jnp.sqrt(col_dots(r, r))
-    rel = np.asarray(res_norm) / np.maximum(np.abs(np.asarray(lam)), 1e-300)
+    rel = np.asarray(_rel_res_jit(lvls[0].a_op, lvls[0].b_op, x, lam))
     nev_conv = int(np.sum(np.cumprod(rel[:nev_out] < tol_rel)))
     return PASResult(
         eval=np.asarray(lam)[:nev_out],
