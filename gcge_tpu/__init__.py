@@ -30,7 +30,8 @@ from gcge_tpu.ops.operators import (
     SparseOperator,
 )
 from gcge_tpu.api import solve
-from gcge_tpu.ops.operators import DiaDF64Operator, DiaOperator, make_operator
+from gcge_tpu.ops.operators import (DiaDF64Operator, DiaOperator,
+                                    FunctionOperator, make_operator)
 from gcge_tpu.solvers.gcg import GCGParams, GCGResult, gcg_solve
 from gcge_tpu.solvers.bpcg import BlockPCGParams, block_pcg, pcg
 from gcge_tpu.solvers.orth import bgs_orth, orth_block, orth_against
@@ -41,6 +42,7 @@ __all__ = [
     "LinearOperator",
     "DenseOperator",
     "DiagOperator",
+    "FunctionOperator",
     "DiaDF64Operator",
     "DiaOperator",
     "IdentityOperator",

@@ -152,6 +152,42 @@ class ShiftedOperator(LinearOperator):
         return cls(*children)
 
 
+@jax.tree_util.register_pytree_node_class
+class FunctionOperator(LinearOperator):
+    """Matrix-free symmetric operator from a jit-traceable multivector
+    function ``fn(x: (n, m)) -> (n, m)``.
+
+    The analogue of filling the reference's OPS vtable with a custom
+    ``MatDotMultiVec`` (``ops.h:84``) without materializing the matrix —
+    e.g. stencils applied as shifts, FFT-diagonalizable operators, or
+    operator compositions.  ``fn`` must be a pure function (it is carried as
+    static pytree metadata, so using the same ``fn`` object avoids
+    recompiles)."""
+
+    def __init__(self, fn, n: int, dtype=jnp.float64):
+        self.fn = fn
+        self.n = int(n)
+        self._dtype = dtype
+
+    @property
+    def shape(self):
+        return (self.n, self.n)
+
+    @property
+    def dtype(self):
+        return self._dtype
+
+    def matvec(self, x):
+        return self.fn(x)
+
+    def tree_flatten(self):
+        return (), (self.fn, self.n, self._dtype)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0], aux[1], aux[2])
+
+
 def _ell_spmm(values: jax.Array, indices: jax.Array, x: jax.Array) -> jax.Array:
     """ELL SpMM: ``y[i, :] = sum_k values[i, k] * x[indices[i, k], :]``.
 

@@ -260,3 +260,26 @@ def test_gcg_orth_method_variants():
     assert p.orth_method == "bgs"
     p, _ = params_from_args(["-gcge_compW_orth_method", "mgs"])
     assert p.orth_method == "mgs"
+
+
+def test_gcg_matrix_free_operator():
+    """Matrix-free A (FunctionOperator): the 1D Laplacian applied as shifts,
+    never materialized — the OPS-vtable custom-matvec analogue."""
+    import jax.numpy as jnp
+
+    from gcge_tpu.ops.operators import FunctionOperator
+    from tests.conftest import laplacian_1d_eigs
+
+    n = 500
+    h = 1.0 / (n + 1)
+
+    def lap(x):
+        up = jnp.concatenate([x[1:], jnp.zeros((1, x.shape[1]), x.dtype)])
+        dn = jnp.concatenate([jnp.zeros((1, x.shape[1]), x.dtype), x[:-1]])
+        return (2.0 * x - up - dn) / h
+
+    op = FunctionOperator(lap, n)
+    res = gcg_solve(op, None, GCGParams(nev=5, block_size=3, verbose=0))
+    assert res.nev_conv >= 5
+    np.testing.assert_allclose(res.eval[:5], laplacian_1d_eigs(n)[:5] / 1.0,
+                               rtol=1e-8)
