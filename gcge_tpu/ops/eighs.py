@@ -338,9 +338,12 @@ def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
 # Newton step; measured on v5e: newton at m=512 runs in ~1.0s where a single
 # Jacobi sweep would cost ~4e14 emulated-f64 flops (tens of seconds).  The
 # nev=200 production case (projected m=480) sits right in this regime —
-# PERFORMANCE.md showed its iterations dominated by the Jacobi RR.  Jacobi
-# stays the default below 256 where it is fast anyway and has the longest
-# soak record on tiny clustered spectra.
+# before the switch its iterations were dominated by the Jacobi RR
+# (PERFORMANCE.md: 226s -> 106s).  Below the threshold Jacobi wins: an A/B
+# at m=120 (nev=50 production case) measured jacobi 14.1s/54 converged vs
+# newton 18.3s/50 — newton's fixed overheads (device-eigh warm start, 4
+# refinement grams, batched cluster stage) exceed one warm Jacobi sweep
+# there, and its cluster handling is less exact on tiny dense spectra.
 NEWTON_MIN_M = 256
 
 
