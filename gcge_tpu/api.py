@@ -12,7 +12,7 @@ GCG and returns ``(eval, evec, nev_conv)`` in the original row order.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import numpy as np
 
@@ -24,9 +24,7 @@ def _as_operator(mat, dtype, rcm: bool, perm=None):
     from gcge_tpu.ops.operators import (
         DenseOperator,
         DiagOperator,
-        DiaOperator,
         LinearOperator,
-        SparseOperator,
         make_operator,
     )
 

@@ -19,8 +19,6 @@ shape ``(n, m)``; solvers are generic over it and everything jits.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

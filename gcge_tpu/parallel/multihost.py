@@ -29,7 +29,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from gcge_tpu.parallel.mesh import COLS, ROWS, mv_spec
+from gcge_tpu.parallel.mesh import ROWS, mv_spec
 
 
 def bootstrap(coordinator_address: str | None = None,

@@ -52,8 +52,7 @@ import numpy as np
 
 from gcge_tpu.ops.multivec import block_inner, col_dots, gram
 from gcge_tpu.solvers.bpcg import BlockPCGParams, block_pcg, block_pcg_t
-from gcge_tpu.solvers.orth import (orth_against, orth_block,
-                                   orth_block_against, orth_within)
+from gcge_tpu.solvers.orth import orth_block_against, orth_within
 
 
 # --------------------------------------------------------------------------

@@ -20,7 +20,7 @@ Reference components covered (SURVEY.md §2):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Callable, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +28,7 @@ import numpy as np
 import scipy.sparse as sps
 
 from gcge_tpu.ops.multivec import col_dots
-from gcge_tpu.ops.operators import SparseOperator, make_operator
+from gcge_tpu.ops.operators import make_operator
 from gcge_tpu.solvers.bpcg import BlockPCGParams, block_pcg
 
 

@@ -19,8 +19,6 @@ for cross-checking the EVP kernel in tests.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
