@@ -85,3 +85,20 @@ def test_mid_solve_checkpoint_and_resume(tmp_path):
     gcg_solve(op, None, p3)
     ev2, _, _, _ = load_checkpoint(ck)
     assert np.isfinite(ev2).all()
+
+
+def test_meminfo_snapshot_and_memwatch(capsys):
+    """Memory observability (the memwatch analogue, SURVEY #20)."""
+    import jax.numpy as jnp
+
+    from gcge_tpu.utils.meminfo import MemWatch, snapshot, workspace_bytes
+
+    s0 = snapshot()
+    assert s0.live_array_bytes >= 0 and "live_arrays" in str(s0)
+    est = workspace_bytes(n=10000, nev=50)
+    assert est > 10000 * 50 * 8          # at least the basis itself
+    with MemWatch("test-region"):
+        x = jnp.ones((1000, 8))
+        x.block_until_ready()
+    out = capsys.readouterr().out
+    assert "test-region" in out
