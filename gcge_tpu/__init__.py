@@ -29,7 +29,7 @@ from gcge_tpu.ops.operators import (
     ShiftedOperator,
     SparseOperator,
 )
-from gcge_tpu.api import solve
+from gcge_tpu.api import eigsh, solve
 from gcge_tpu.ops.operators import (DiaDF64Operator, DiaOperator,
                                     FunctionOperator, make_operator)
 from gcge_tpu.solvers.gcg import GCGParams, GCGResult, gcg_solve
@@ -53,6 +53,7 @@ __all__ = [
     "GCGResult",
     "gcg_solve",
     "solve",
+    "eigsh",
     "BlockPCGParams",
     "block_pcg",
     "pcg",

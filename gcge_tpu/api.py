@@ -53,6 +53,32 @@ def _as_operator(mat, dtype, rcm: bool, perm=None):
     return DenseOperator(jnp.asarray(arr, dtype)), perm
 
 
+def eigsh(a, k: int = 6, M=None, which: str = "SM", v0=None,
+          tol: float = 0.0, maxiter: int | None = None, **kwargs: Any):
+    """``scipy.sparse.linalg.eigsh``-compatible front end (smallest pairs).
+
+    Drop-in for SciPy users: ``w, v = gcge_tpu.eigsh(A, k=50, M=B)`` returns
+    numpy ``(w, v)`` with ``v`` of shape ``(n, k)``.  Supported ``which``:
+    ``'SM'``/``'SA'`` (GCG computes the smallest end of the spectrum — the
+    reference library's scope).  ``tol`` maps to the relative-residual
+    tolerance (0 = the default 1e-8); extra ``**kwargs`` pass through to
+    :func:`solve` (e.g. ``rcm=True``, ``distribute=True``,
+    ``multigrid=True``).
+    """
+    if which not in ("SM", "SA"):
+        raise ValueError(
+            f"which={which!r} unsupported: GCG targets the smallest "
+            "eigenpairs (use which='SM' or 'SA')")
+    if v0 is not None and np.asarray(v0).ndim == 1:
+        v0 = np.asarray(v0)[:, None]
+    ev, evec, nev_conv = solve(
+        a, M, nev=k, x0=v0,
+        **{**({"tol_rel": tol} if tol else {}),
+           **({"max_iter": maxiter} if maxiter else {}),
+           **kwargs})
+    return np.asarray(ev[:k]), np.asarray(evec)[:, :k]
+
+
 def solve(
     a,
     b=None,

@@ -239,3 +239,27 @@ def test_solve_pas_generalized(rng):
                                       eigvals_only=True))[:3]
     assert nc >= 3
     np.testing.assert_allclose(ev[:3], exact, rtol=1e-5)
+
+
+def test_eigsh_scipy_compatible(rng):
+    """gcge_tpu.eigsh mirrors scipy.sparse.linalg.eigsh for smallest pairs."""
+    import scipy.sparse as sps
+    import scipy.sparse.linalg as spl
+
+    import gcge_tpu
+
+    n = 400
+    h = 1.0 / (n + 1)
+    a = sps.diags([np.full(n - 1, -1 / h), np.full(n, 2 / h),
+                   np.full(n - 1, -1 / h)], [-1, 0, 1]).tocsr()
+    m = sps.diags(np.full(n, h)).tocsr()
+    w, v = gcge_tpu.eigsh(a, k=5, M=m, verbose=0)
+    w_sp, _ = spl.eigsh(a, k=5, M=m, sigma=0, which="LM")
+    np.testing.assert_allclose(w, np.sort(w_sp), rtol=1e-8)
+    assert v.shape == (n, 5)
+    # residuals in the generalized sense
+    r = a @ v - m @ v * w[None, :]
+    assert np.abs(r).max() < 1e-5 * np.abs(w).max()
+    import pytest
+    with pytest.raises(ValueError):
+        gcge_tpu.eigsh(a, k=3, which="LM")
