@@ -206,128 +206,174 @@ def _acc_matmul_sym(h, u):
     return gram(h, u)
 
 
-@partial(jax.jit, static_argnames=("iters", "cap", "nblk", "polish_sweeps"))
+# above this m the 'auto' warm start switches to the f32 device eigh: the
+# emulated-f64 eigh does not COMPILE on the axon runtime past ~1000 rows
+# (remote tpu_compile_helper crash; m=1024 never finished), while the f32
+# one is a plain native-precision QDWH — its ~1e-5-relative eigenvectors
+# are plenty for the trust-capped refinement below.
+F32_WARM_MIN_M = 768
+
+
+@partial(jax.jit, static_argnames=("iters", "cap", "nblk", "polish_sweeps",
+                                   "warm_dtype", "passes"))
 def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
-                nblk: int | None = None, polish_sweeps: int = 4, warm=None):
+                nblk: int | None = None, polish_sweeps: int = 4, warm=None,
+                warm_dtype: str = "auto", passes: int | None = None):
     """Eigendecomposition of symmetric ``h`` for large m (ascending).
 
     Device-accurate on emulated-f64 TPUs like :func:`eigh_jacobi` but at
     O(m^3) per refinement step instead of O(m^4) per sweep; intended for
     projected matrices beyond a few hundred rows (huge-nev Rayleigh-Ritz).
 
-    ``theta`` is the relative gap below which a pair is treated as a
-    cluster.  Default (None) = ADAPTIVE: ``gap_tol = 8 * off0`` where
-    ``off0`` is the measured off-diagonal coupling of the warm start — every
-    Newton correction then satisfies ``|E| <= 1/8`` (quadratic convergence)
-    while flagging the FEWEST possible pairs as clusters.  A fixed large
-    theta is dangerous: dense spectra (hundreds of Laplacian eigenvalues in
-    a GCG projected matrix) chain into clusters longer than ``cap``, and
-    couplings across the cap-splits stay unfixed at warm-start level —
-    observed as a 1e-7 residual floor at nev=200 before this was adaptive.
+    Each PASS runs two stages:
 
-    ``cap`` bounds the handled cluster size; ``nblk`` is the static budget
-    of multi-member cluster blocks (default m//2 capped at 64).  ``warm``
-    is an optional ``(w0, u0)`` warm start (ascending, roughly orthonormal)
-    standing in for the device eigh — used by tests to reproduce the TPU's
-    f32-level backtransform error on exact-f64 hosts.
+    1. masked Newton refinement — ``U <- orth(U (I + E))`` with
+       ``E = H1 / (d_i - d_j)`` applied only to pairs whose gap exceeds
+       ``gap_tol = 8 * off0`` (``off0`` = the pass's entry coupling), so
+       every correction satisfies ``|E| <= 1/8`` and contracts
+       quadratically;
+    2. batched cluster rotations — contiguous runs of eigenvalues closer
+       than ``gap_tol`` are gathered into <=``cap``-sized blocks, the block
+       MEAN is subtracted (the batched device eigh's error then scales with
+       the cluster WIDTH, not ||H||), and the mean-shifted blocks are
+       eigensolved + Jacobi-polished batched, exactly diagonalizing what
+       stage 1 had to skip.
+
+    With an f64-quality warm start one pass reaches ~1e-11 residuals.  At
+    large m the emulated-f64 device eigh does not even COMPILE on the axon
+    runtime (remote-compiler crash past ~1000 rows), so ``warm_dtype='auto'``
+    switches to the F32 device eigh past :data:`F32_WARM_MIN_M` and runs
+    MORE passes: each pass shrinks the coupling scale by orders of
+    magnitude, so the adaptive ``gap_tol`` tightens geometrically and the
+    cluster chains shorten until only true degeneracies remain.
+
+    ``theta`` overrides the adaptive per-pass gap_tol (relative to
+    ``max|eigenvalue|``); ``nblk`` is the static budget of multi-member
+    cluster blocks (default m//2 capped at 64); ``warm`` is an optional
+    ``(w0, u0)`` warm start standing in for the device eigh (tests use it
+    to reproduce TPU error levels on exact-f64 hosts).
     """
     from gcge_tpu.ops.multivec import gram
 
     m = h.shape[0]
     if nblk is None:
         nblk = max(1, min(m // 2, 64))
-    w0, u = safe_eigh(h) if warm is None else warm
+    use_f32_warm = warm is None and (
+        warm_dtype == "f32" or (warm_dtype == "auto" and m >= F32_WARM_MIN_M))
+    if passes is None:
+        passes = 3 if use_f32_warm else 1
+    if warm is not None:
+        w0, u = warm
+    elif use_f32_warm:
+        w32, u32 = safe_eigh(h.astype(jnp.float32))
+        w0, u = w32.astype(h.dtype), u32.astype(h.dtype)
+    else:
+        w0, u = safe_eigh(h)
     scale = jnp.maximum(jnp.max(jnp.abs(w0)), jnp.asarray(1e-300, h.dtype))
     eye = jnp.eye(m, dtype=h.dtype)
     offmask = 1.0 - eye
+    eps = float(jnp.finfo(h.dtype).eps)
+    off_floor = jnp.asarray(32.0 * eps, h.dtype) * scale
 
     def h1_of(u):
         h1 = gram(u, _acc_matmul_sym(h, u))
         return 0.5 * (h1 + h1.T)
 
-    h1 = h1_of(u)
-    eps = float(jnp.finfo(h.dtype).eps)
-    if theta is None:
+    def gap_tol_of(h1):
+        if theta is not None:
+            return jnp.asarray(theta, h.dtype) * scale
         off0 = jnp.max(jnp.abs(h1 * offmask))
-        gap_tol = jnp.maximum(8.0 * off0, (64.0 * eps) * scale)
-    else:
-        gap_tol = jnp.asarray(theta, h.dtype) * scale
+        return jnp.maximum(8.0 * off0, (64.0 * eps) * scale)
 
-    # refinement loop with early exit: when the warm start is already
-    # accurate (true-f64 hosts) the masked coupling is at rounding level on
-    # entry and the loop body runs zero or one time
-    off_floor = jnp.asarray(32.0 * eps, h.dtype) * scale
+    def refine(u, h1):
+        """Masked Newton refinement (stage 1)."""
+        gap_tol = gap_tol_of(h1)
 
-    def step(st):
-        u, h1, k, _ = st
+        def step(st):
+            u, h1, k, _ = st
+            d = jnp.diagonal(h1)
+            delta = d[None, :] - d[:, None]      # delta[j, i] = d_i - d_j
+            mask = jnp.abs(delta) > gap_tol
+            e = jnp.where(mask, h1 / jnp.where(mask, delta, 1.0), 0.0)
+            off = jnp.max(jnp.abs(jnp.where(mask, h1, 0.0)))
+            u = u @ (eye + e)
+            # one Newton-Schulz orthonormality step (I + E is orthogonal
+            # to first order; this removes the second-order drift)
+            g = gram(u, u)
+            u = u @ (1.5 * eye - 0.5 * g)
+            return u, h1_of(u), k + 1, off
+
+        def keep_going(st):
+            _, _, k, off = st
+            return (k < iters) & (off > off_floor)
+
+        u, h1, _, _ = jax.lax.while_loop(
+            keep_going, step,
+            (u, h1, jnp.int32(0), jnp.full((), jnp.inf, h.dtype)))
+        return u, h1, gap_tol
+
+    def cluster_rotate(u, h1, gap_tol):
+        """Batched mean-shifted block eighs on near-degenerate runs
+        (stage 2).  Returns the rotated ``(u, w)``."""
         d = jnp.diagonal(h1)
-        delta = d[None, :] - d[:, None]          # delta[j, i] = d_i - d_j
-        mask = jnp.abs(delta) > gap_tol
-        e = jnp.where(mask, h1 / jnp.where(mask, delta, 1.0), 0.0)
-        off = jnp.max(jnp.abs(jnp.where(mask, h1, 0.0)))
-        u = u @ (eye + e)
-        # one Newton-Schulz orthonormality step (I + E is orthogonal to
-        # first order; this removes the second-order drift)
-        g = gram(u, u)
-        u = u @ (1.5 * eye - 0.5 * g)
-        return u, h1_of(u), k + 1, off
+        c = cap
+        idx = jnp.arange(m)
+        gaps = jnp.concatenate([jnp.ones((1,), h.dtype) * (2 * gap_tol),
+                                d[1:] - d[:-1]])
+        b0 = gaps > gap_tol                               # cluster starts
+        start0 = jax.lax.cummax(jnp.where(b0, idx, 0))
+        pos0 = idx - start0
+        b = b0 | (pos0 % c == 0)                          # split at cap
+        seg = jnp.cumsum(b.astype(jnp.int32)) - 1         # segment ids
+        ones = jnp.ones((m,), jnp.int32)
+        seg_len = jax.ops.segment_sum(ones, seg, num_segments=m)
+        len_at = jnp.take(seg_len, seg)
+        multi_start = b & (len_at >= 2)
+        starts = jnp.nonzero(multi_start, size=nblk, fill_value=m)[0]
+        valid_blk = starts < m
+        lens = jnp.where(
+            valid_blk,
+            jnp.take(seg_len, jnp.take(seg, jnp.minimum(starts, m - 1))), 0)
+        rows = jnp.clip(starts[:, None] + jnp.arange(c)[None, :], 0, m - 1)
+        in_blk = (jnp.arange(c)[None, :] < lens[:, None]) & valid_blk[:, None]
+        sub = h1[rows[:, :, None], rows[:, None, :]]      # (nblk, c, c)
+        mvalid = in_blk[:, :, None] & in_blk[:, None, :]
+        sub = jnp.where(mvalid, sub, 0.0)
+        fin = in_blk.astype(h.dtype)
+        mu = jnp.sum(sub * jnp.eye(c, dtype=h.dtype), axis=(1, 2)) / \
+            jnp.maximum(jnp.sum(fin, axis=1), 1.0)
+        # subtract the block mean (valid diag only); give padded slots
+        # distinct, well-separated diagonal values above the block norm so
+        # they decouple
+        blk_norm = jnp.max(jnp.abs(sub), axis=(1, 2)) + gap_tol * c
+        pad_diag = (jnp.arange(c, dtype=h.dtype) + 2.0)[None, :] * \
+            (2.0 * blk_norm)[:, None]
+        diag_new = jnp.where(in_blk, -mu[:, None], pad_diag)
+        sub = sub + diag_new[:, :, None] * jnp.eye(c, dtype=h.dtype)
+        wb0, vb0 = jax.vmap(safe_eigh)(sub)
+        wb, vb = jax.vmap(
+            lambda hh, ww, uu: jacobi_polish(hh, ww, uu, sweeps=polish_sweeps)
+        )(sub, wb0, vb0)
+        # scatter block rotations into a block-diagonal m x m rotation
+        s_rot = jnp.zeros((m, m), h.dtype).at[
+            rows[:, :, None], rows[:, None, :]].add(
+            jnp.where(mvalid, vb, 0.0), mode="drop")
+        covered = jnp.zeros((m,), jnp.int32).at[rows].add(
+            in_blk.astype(jnp.int32), mode="drop") > 0
+        s_rot = s_rot + jnp.diag(jnp.where(covered, 0.0, 1.0).astype(h.dtype))
+        u = u @ s_rot
+        w = jnp.where(covered, 0.0, d)
+        w = w.at[rows].add(jnp.where(in_blk, wb + mu[:, None], 0.0),
+                           mode="drop")
+        return u, w
 
-    def keep_going(st):
-        _, _, k, off = st
-        return (k < iters) & (off > off_floor)
-
-    u, h1, _, _ = jax.lax.while_loop(
-        keep_going, step, (u, h1, jnp.int32(0), jnp.full((), jnp.inf, h.dtype)))
-
-    d = jnp.diagonal(h1)
-
-    # ---- stage 2: batched cluster rotations ------------------------------
-    c = cap
-    idx = jnp.arange(m)
-    gaps = jnp.concatenate([jnp.ones((1,), h.dtype) * (2 * gap_tol),
-                            d[1:] - d[:-1]])
-    b0 = gaps > gap_tol                                   # cluster starts
-    start0 = jax.lax.cummax(jnp.where(b0, idx, 0))
-    pos0 = idx - start0
-    b = b0 | (pos0 % c == 0)                              # split at cap
-    seg = jnp.cumsum(b.astype(jnp.int32)) - 1             # segment ids
-    ones = jnp.ones((m,), jnp.int32)
-    seg_len = jax.ops.segment_sum(ones, seg, num_segments=m)
-    len_at = jnp.take(seg_len, seg)
-    multi_start = b & (len_at >= 2)
-    starts = jnp.nonzero(multi_start, size=nblk, fill_value=m)[0]
-    valid_blk = starts < m
-    lens = jnp.where(valid_blk,
-                     jnp.take(seg_len, jnp.take(seg, jnp.minimum(starts, m - 1))),
-                     0)
-    rows = jnp.clip(starts[:, None] + jnp.arange(c)[None, :], 0, m - 1)
-    in_blk = (jnp.arange(c)[None, :] < lens[:, None]) & valid_blk[:, None]
-    sub = h1[rows[:, :, None], rows[:, None, :]]          # (nblk, c, c)
-    mvalid = in_blk[:, :, None] & in_blk[:, None, :]
-    sub = jnp.where(mvalid, sub, 0.0)
-    fin = in_blk.astype(h.dtype)
-    mu = jnp.sum(sub * jnp.eye(c, dtype=h.dtype), axis=(1, 2)) / \
-        jnp.maximum(jnp.sum(fin, axis=1), 1.0)
-    # subtract the block mean (valid diag only); give padded slots distinct,
-    # well-separated diagonal values above the block norm so they decouple
-    blk_norm = jnp.max(jnp.abs(sub), axis=(1, 2)) + gap_tol * c
-    pad_diag = (jnp.arange(c, dtype=h.dtype) + 2.0)[None, :] * \
-        (2.0 * blk_norm)[:, None]
-    diag_new = jnp.where(in_blk, -mu[:, None], pad_diag)
-    sub = sub + diag_new[:, :, None] * jnp.eye(c, dtype=h.dtype)
-    wb0, vb0 = jax.vmap(safe_eigh)(sub)
-    wb, vb = jax.vmap(
-        lambda hh, ww, uu: jacobi_polish(hh, ww, uu, sweeps=polish_sweeps)
-    )(sub, wb0, vb0)
-    # scatter block rotations into a block-diagonal m x m rotation
-    s_rot = jnp.zeros((m, m), h.dtype).at[rows[:, :, None], rows[:, None, :]].add(
-        jnp.where(mvalid, vb, 0.0), mode="drop")
-    covered = jnp.zeros((m,), jnp.int32).at[rows].add(
-        in_blk.astype(jnp.int32), mode="drop") > 0
-    s_rot = s_rot + jnp.diag(jnp.where(covered, 0.0, 1.0).astype(h.dtype))
-    u = u @ s_rot
-    w = jnp.where(covered, 0.0, d)
-    w = w.at[rows].add(jnp.where(in_blk, wb + mu[:, None], 0.0), mode="drop")
+    h1 = h1_of(u)
+    w = jnp.diagonal(h1)
+    for p in range(passes):
+        u, h1, gap_tol = refine(u, h1)
+        u, w = cluster_rotate(u, h1, gap_tol)
+        if p + 1 < passes:
+            h1 = h1_of(u)
 
     order = jnp.argsort(w)
     return jnp.take(w, order), jnp.take(u, order, axis=1)

@@ -90,9 +90,15 @@ def orth_block(
         bx = x if b_matvec is None else b_matvec(x)
         g = gram(x, bx)
         g = 0.5 * (g + g.T)
-        from gcge_tpu.ops.eighs import safe_eigh
+        from gcge_tpu.ops.eighs import F32_WARM_MIN_M, eigh_newton, safe_eigh
 
-        w, u = safe_eigh(g)   # NaN-guarded: rank-deficient Grams can NaN
+        if m >= F32_WARM_MIN_M:
+            # the emulated-f64 device eigh does not COMPILE past ~1000 rows
+            # on the axon runtime; wide blocks (huge-nev InitializeX, PAS
+            # spans) take the f32-warm multi-pass Newton eigh instead
+            w, u = eigh_newton(g)
+        else:
+            w, u = safe_eigh(g)   # NaN-guarded: rank-deficient Grams can NaN
         w = w[::-1]           # the TPU's emulated-f64 eigh (see ops.eighs)
         u = u[:, ::-1]
         w_max = jnp.maximum(w[0], jnp.asarray(1e-300, x.dtype))
@@ -191,7 +197,13 @@ def orth_block_against(
             ref_scale2=ref_scale2 if i == 0 else None, method=method,
         )
         rank = jnp.minimum(rank, r)
-    return x, rank
+    # one final PROJECTION pass: the last within-block recombination
+    # normalizes near-deflation-floor directions by up to 1/sqrt(w_min),
+    # re-amplifying their residual span(q) leakage by the same factor
+    # (observed as ~1e-7 basis-orthonormality decay and spurious
+    # eigenvalues below lambda_min over long huge-nev runs).  A projection
+    # leaves within-block orthonormality intact to (leakage)^2.
+    return orth_against(x, q, b_matvec, passes=1), rank
 
 
 def bgs_orth(

@@ -113,3 +113,22 @@ def test_orth_within_compacts_deflated_columns(rng):
         np.testing.assert_allclose(q[:, :r].T @ q[:, :r], np.eye(r),
                                    atol=5e-12, err_msg=method)
         assert np.abs(q[:, r:]).max() == 0.0, method
+
+
+def test_orth_block_wide_uses_newton_eigh(rng):
+    """Wide blocks (>= F32_WARM_MIN_M columns) route the Gram eigh through
+    the multi-pass Newton path — the huge-nev InitializeX regime where the
+    emulated-f64 device eigh cannot compile on the axon runtime."""
+    import jax.numpy as jnp
+
+    from gcge_tpu.solvers.orth import orth_block
+
+    n, m = 1600, 800
+    x = rng.standard_normal((n, m))
+    x[:, 5] = x[:, 2] + x[:, 3]          # one dependent column
+    q, rank = orth_block(jnp.asarray(x), zero_tol=1e-10)
+    q, r = np.asarray(q), int(rank)
+    assert r == m - 1
+    g = q[:, :r].T @ q[:, :r]
+    assert np.abs(g - np.eye(r)).max() < 1e-11
+    assert np.abs(q[:, r:]).max() == 0.0
