@@ -40,6 +40,15 @@ def col_dots(x: jax.Array, y: jax.Array) -> jax.Array:
     return jnp.sum(x * y, axis=0)
 
 
+# memory budget for the materialized per-chunk partial products of `gram`:
+# the one-shot einsum materializes (k, mx, my) before the f64 cross-chunk
+# sum — at huge-nev widths (m ~ 1000, n ~ 157k -> k ~ 616) that is tens of
+# GB and the compiler OOMs.  Past the budget the chunks are accumulated by
+# a lax.scan in groups (identical numerics: per-chunk MXU products, f64
+# adds between), bounding live memory at ~GRAM_PART_BYTES.
+GRAM_PART_BYTES = 256 * 2**20
+
+
 def gram(x: jax.Array, y: jax.Array, chunk: int = GRAM_CHUNK) -> jax.Array:
     """Accurate Gram block ``x^T y`` via chunked contraction (see GRAM_CHUNK)."""
     n, mx = x.shape
@@ -51,10 +60,32 @@ def gram(x: jax.Array, y: jax.Array, chunk: int = GRAM_CHUNK) -> jax.Array:
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
         y = jnp.pad(y, ((0, pad), (0, 0)))
-    parts = jnp.einsum(
-        "kcx,kcy->kxy", x.reshape(k, chunk, mx), y.reshape(k, chunk, my)
-    )
-    return jnp.sum(parts, axis=0)
+    itemsize = jnp.dtype(x.dtype).itemsize
+    if k * mx * my * itemsize <= GRAM_PART_BYTES:
+        parts = jnp.einsum(
+            "kcx,kcy->kxy", x.reshape(k, chunk, mx), y.reshape(k, chunk, my)
+        )
+        return jnp.sum(parts, axis=0)
+    # two-level: scan over groups of g chunks, each step materializing only
+    # (g, mx, my) partials and f64-accumulating into the carry
+    g = max(1, GRAM_PART_BYTES // max(mx * my * itemsize, 1))
+    steps = -(-k // g)
+    pad_k = steps * g - k
+    xr = x.reshape(k, chunk, mx)
+    yr = y.reshape(k, chunk, my)
+    if pad_k:
+        xr = jnp.pad(xr, ((0, pad_k), (0, 0), (0, 0)))
+        yr = jnp.pad(yr, ((0, pad_k), (0, 0), (0, 0)))
+    xs = xr.reshape(steps, g, chunk, mx)
+    ys = yr.reshape(steps, g, chunk, my)
+
+    def body(acc, xy):
+        xg, yg = xy
+        parts = jnp.einsum("gcx,gcy->gxy", xg, yg)
+        return acc + jnp.sum(parts, axis=0), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((mx, my), x.dtype), (xs, ys))
+    return acc
 
 
 def block_inner(x: jax.Array, y: jax.Array, mode: str = "N") -> jax.Array:
