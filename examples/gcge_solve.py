@@ -140,7 +140,22 @@ def main(argv):
     profile_dir = get_flag(argv, "-profile_dir")
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
-    result = gcg_solve(a_op, b_op, params, mesh=mesh)
+    # -resume ckpt.npz: warm-start from a previous solve's checkpoint
+    # (utils.checkpoint; pair with -checkpoint/-checkpoint_every to write)
+    x0 = None
+    resume = get_flag(argv, "-resume")
+    if resume:
+        from gcge_tpu.utils.checkpoint import load_checkpoint
+
+        _, x0, nev_prev, _ = load_checkpoint(resume)
+        print(f"resuming from {resume} ({nev_prev} converged, "
+              f"{x0.shape[1]} vectors)")
+    ckpt = get_flag(argv, "-checkpoint")
+    if ckpt:
+        params = type(params)(**{
+            **params.__dict__, "checkpoint_path": ckpt,
+            "checkpoint_every": get_flag(argv, "-checkpoint_every", 10, int)})
+    result = gcg_solve(a_op, b_op, params, x0=x0, mesh=mesh)
     if profile_dir:
         jax.profiler.stop_trace()
         print(f"profiler trace written to {profile_dir}")
