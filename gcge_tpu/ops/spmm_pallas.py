@@ -42,25 +42,35 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("offsets", "tn", "interpret"))
-def _dia_spmm_t(values, offsets: tuple[int, ...], xt, tn: int, interpret: bool):
+@functools.partial(jax.jit,
+                   static_argnames=("offsets", "tn", "interpret", "hl"))
+def _dia_spmm_t(values, offsets: tuple[int, ...], xt, tn: int, interpret: bool,
+                hl: int = 0):
     """y_t = A @ x, transposed layout.
 
     values: (ndiag, n) diagonal storage, values[d, i] = A[i, i + offsets[d]]
-    xt:     (m, n) transposed multivector
+    xt:     (m, n + hl + hr) transposed multivector; ``hl``/``hr`` extra
+            lanes are HALO data so that ``y[i] = sum_d values[d, i] *
+            xt[:, hl + i + off_d]`` — the local window of a row-sharded
+            matvec (``hr`` is implied by the shapes).  ``hl = 0`` with
+            ``xt`` of width n is the plain square matvec (out-of-range
+            reads hit the kernel's zero padding).
     returns (m, n)
     """
     ndiag, n = values.shape
-    m = xt.shape[0]
+    m, nw = xt.shape
     assert max(abs(o) for o in offsets) <= tn, "diagonal offset exceeds tile"
+    assert 0 <= hl <= tn and 0 <= nw - n - hl <= tn, "halo exceeds tile"
     sub = 8 if xt.dtype == jnp.float32 else 16
     m_pad = _round_up(max(m, sub), sub)
     n_pad = _round_up(n, tn)
     grid = n_pad // tn
 
     vals_p = jnp.zeros((ndiag, n_pad), values.dtype).at[:, :n].set(values)
-    # x padded by one full tile of zeros on each lane end
-    xt_p = jnp.zeros((m_pad, n_pad + 2 * tn), xt.dtype).at[:m, tn:tn + n].set(xt)
+    # x padded by one tile of zeros on each lane end; halo lanes land in the
+    # padding region so diagonal slices read real neighbor data there
+    xt_p = jnp.zeros((m_pad, n_pad + 2 * tn), xt.dtype) \
+        .at[:m, tn - hl:tn - hl + nw].set(xt)
 
     def kernel(x0_ref, x1_ref, x2_ref, vals_ref, out_ref, win_ref):
         win_ref[:, :tn] = x0_ref[:]
@@ -169,14 +179,17 @@ def _two_prod(a, b):
     return p, err
 
 
-@functools.partial(jax.jit, static_argnames=("offsets", "tn", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("offsets", "tn", "interpret", "hl"))
 def _dia_spmm_t_df64(vhi, vlo, offsets: tuple[int, ...], xhi, xlo,
-                     tn: int, interpret: bool):
+                     tn: int, interpret: bool, hl: int = 0):
     """df64 transposed DIA SpMM: returns (y_hi, y_lo) f32 with
-    ``y_hi + y_lo ~ (A @ x)^T`` to ~2^-48 relative."""
+    ``y_hi + y_lo ~ (A @ x)^T`` to ~2^-48 relative.  ``hl`` as in
+    :func:`_dia_spmm_t`: x may carry halo lanes on both ends."""
     ndiag, n = vhi.shape
-    m = xhi.shape[0]
+    m, nw = xhi.shape
     assert max(abs(o) for o in offsets) <= tn, "diagonal offset exceeds tile"
+    assert 0 <= hl <= tn and 0 <= nw - n - hl <= tn, "halo exceeds tile"
     m_pad = _round_up(max(m, 8), 8)
     n_pad = _round_up(n, tn)
     grid = n_pad // tn
@@ -185,7 +198,8 @@ def _dia_spmm_t_df64(vhi, vlo, offsets: tuple[int, ...], xhi, xlo,
         return jnp.zeros((ndiag, n_pad), v.dtype).at[:, :n].set(v)
 
     def padx(x):
-        return jnp.zeros((m_pad, n_pad + 2 * tn), x.dtype).at[:m, tn:tn + n].set(x)
+        return jnp.zeros((m_pad, n_pad + 2 * tn), x.dtype) \
+            .at[:m, tn - hl:tn - hl + nw].set(x)
 
     vhi_p, vlo_p = padv(vhi), padv(vlo)
     xhi_p, xlo_p = padx(xhi), padx(xlo)
@@ -242,19 +256,37 @@ def _dia_spmm_t_df64(vhi, vlo, offsets: tuple[int, ...], xhi, xlo,
     return ohi[:m, :n], olo[:m, :n]
 
 
+def _window_matvec_t(v64, offsets: tuple[int, ...], xw_t, hl: int):
+    """XLA windowed shift-FMA: ``y[:, i] = sum_d v64[d, i] * xw_t[:, hl + i
+    + off_d]`` — the halo-aware fallback (boundary data comes from the halo
+    lanes of ``xw_t``, not from zero padding)."""
+    n = v64.shape[1]
+    y = jnp.zeros((xw_t.shape[0], n), xw_t.dtype)
+    for d, off in enumerate(offsets):
+        xs = jax.lax.slice_in_dim(xw_t, hl + off, hl + off + n, axis=1)
+        y = y + v64[d][None, :] * xs
+    return y
+
+
 def dia_spmm_pallas_t_df64(vhi, vlo, offsets: tuple[int, ...], xt,
-                           tn: int = 4096, interpret: bool | None = None):
+                           tn: int = 4096, interpret: bool | None = None,
+                           halo: tuple[int, int] = (0, 0)):
     """f64 transposed-layout DIA SpMM through the df64 Pallas kernel.
 
     ``vhi/vlo`` are the pre-split f32 value planes (:func:`split_df32` —
     split ONCE at operator construction; splitting per call would double the
-    value traffic).  ``xt`` is f64 ``(m, n)``; the x split happens per call
-    (x changes every call).  Returns f64.  Falls back to the XLA shift path
-    for results past the scoped-VMEM guard, like :func:`dia_spmm_pallas_t`.
+    value traffic).  ``xt`` is f64 ``(m, n + sum(halo))``; the x split
+    happens per call (x changes every call).  Returns f64 ``(m, n)``.
+    ``halo=(hl, hr)`` marks leading/trailing lanes of ``xt`` as neighbor
+    halo data (row-sharded matvec windows); the result row ``i`` then reads
+    ``xt[:, hl + i + off]``.  Falls back to the XLA shift path for results
+    past the scoped-VMEM guard, like :func:`dia_spmm_pallas_t`.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    m, n = xt.shape
+    hl, hr = halo
+    m, nw = xt.shape
+    n = nw - hl - hr
     # scoped-VMEM guard: the two f32 result planes must fit ~12 MB.  Wider
     # multivectors are column-chunked (each chunk re-reads the values — still
     # a clear win over the XLA path for up to a few chunks); beyond that the
@@ -264,14 +296,16 @@ def dia_spmm_pallas_t_df64(vhi, vlo, offsets: tuple[int, ...], xt,
         from gcge_tpu.ops.operators import DiaOperator
 
         v64 = vhi.astype(jnp.float64) + vlo.astype(jnp.float64)
+        if hl or hr:
+            return _window_matvec_t(v64, tuple(offsets), xt, hl)
         return DiaOperator(v64, offsets, n).matvec_t(xt)
     span = max(abs(o) for o in offsets)
-    tn = max(tn, _round_up(span, 512) if span else 512)
+    tn = max(tn, _round_up(max(span, hl, hr), 512) if span else 512)
 
     def run(xc):
         hi, lo = split_df32(xc)
         yhi, ylo = _dia_spmm_t_df64(vhi, vlo, tuple(offsets), hi, lo,
-                                    tn, interpret)
+                                    tn, interpret, hl)
         return yhi.astype(jnp.float64) + ylo.astype(jnp.float64)
 
     if m <= max_rows:
@@ -281,27 +315,33 @@ def dia_spmm_pallas_t_df64(vhi, vlo, offsets: tuple[int, ...], xt,
 
 
 def dia_spmm_pallas_t(values, offsets: tuple[int, ...], xt,
-                      tn: int = 4096, interpret: bool | None = None):
-    """Transposed-layout entry: xt of shape (m, n) -> (m, n).
+                      tn: int = 4096, interpret: bool | None = None,
+                      halo: tuple[int, int] = (0, 0)):
+    """Transposed-layout entry: xt of shape (m, n + sum(halo)) -> (m, n).
 
-    The kernel result must fit ~12 MB of scoped VMEM (XLA places it there
+    ``halo`` as in :func:`dia_spmm_pallas_t_df64`.  The kernel result must
+    fit ~12 MB of scoped VMEM (XLA places it there
     when it can; past that the 16 MB scoped limit blows — observed at m=40,
     n=157k inside the fused GCG loop).  Wider multivectors are column-chunked
     over up to 4 kernel calls (each re-reads the values); beyond that the
     XLA shift formulation (~1.5x slower, unconstrained) takes over."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    m, n = xt.shape
+    hl, hr = halo
+    m, nw = xt.shape
+    n = nw - hl - hr
     sub = 8 if xt.dtype == jnp.float32 else 16
     max_rows = max((12 * 2**20 // (xt.dtype.itemsize * n)) // sub * sub, 0)
     if max_rows < sub or -(-m // max_rows) > 4:
         from gcge_tpu.ops.operators import DiaOperator
 
+        if hl or hr:
+            return _window_matvec_t(values, tuple(offsets), xt, hl)
         return DiaOperator(values, offsets, n).matvec_t(xt)
     span = max(abs(o) for o in offsets)
-    tn = max(tn, _round_up(span, 512) if span else 512)
+    tn = max(tn, _round_up(max(span, hl, hr), 512) if span else 512)
     if m <= max_rows:
-        return _dia_spmm_t(values, tuple(offsets), xt, tn, interpret)
+        return _dia_spmm_t(values, tuple(offsets), xt, tn, interpret, hl)
     parts = [_dia_spmm_t(values, tuple(offsets), xt[i:i + max_rows], tn,
-                         interpret) for i in range(0, m, max_rows)]
+                         interpret, hl) for i in range(0, m, max_rows)]
     return jnp.concatenate(parts, axis=0)

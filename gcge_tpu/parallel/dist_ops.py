@@ -35,6 +35,10 @@ from gcge_tpu.ops.operators import (
 )
 from gcge_tpu.parallel.mesh import COLS, ROWS, mv_spec, shard_rows
 
+# Tests set this to route the sharded DIA window through the Pallas kernels
+# in interpret mode on the CPU mesh; on TPU the kernels are used regardless.
+_FORCE_HALO_PALLAS = False
+
 
 def _mv_spec_for(mesh: Mesh, x) -> P:
     """Column-sharded spec on 2-D meshes, but only when the (static) column
@@ -145,50 +149,87 @@ class RowShardedOperator(LinearOperator):
         ln = n // ndev
         halo_ok = ndev > 1 and hl <= ln and hr <= ln
 
-        def apply_window(vals_local, xw):
-            # y[i] = sum_d vals_local[d, i] * xw[hl + i + off_d]
-            y = jnp.zeros((vals_local.shape[1], xw.shape[1]), xw.dtype)
-            for d, off in enumerate(offsets):
-                y = y + vals_local[d][:, None] * \
-                    jax.lax.slice_in_dim(xw, hl + off, hl + off + ln, axis=0)
-            return y
+        # Per-device window application.  On TPU the local SpMM runs the
+        # Pallas kernel (f32 or the double-f32 f64 path) directly on the
+        # halo window — the halo lanes land where the square kernel keeps
+        # its zero padding, so no value re-packing is needed; off-TPU it is
+        # the XLA shift-FMA.  This closes the gap where the sharded df64
+        # matvec reconstructed f64 and lost the ~2x Pallas advantage.
+        df64 = isinstance(inner, DiaDF64Operator)
+        use_pallas = (jax.default_backend() == "tpu" or _FORCE_HALO_PALLAS) \
+            and (df64 or inner.dtype == jnp.float32)
+        interp = True if _FORCE_HALO_PALLAS and \
+            jax.default_backend() != "tpu" else None
+
+        if use_pallas and df64:
+            from gcge_tpu.ops.spmm_pallas import dia_spmm_pallas_t_df64
+
+            vals_args = (inner.values_hi, inner.values_lo)
+
+            def apply_window(vh, vl, xw):
+                return dia_spmm_pallas_t_df64(
+                    vh, vl, offsets, xw.T, interpret=interp,
+                    halo=(hl, hr)).T
+        elif use_pallas:
+            from gcge_tpu.ops.spmm_pallas import dia_spmm_pallas_t
+
+            vals_args = (inner.values,)
+
+            def apply_window(v, xw):
+                return dia_spmm_pallas_t(
+                    v, offsets, xw.T, interpret=interp, halo=(hl, hr)).T
+        else:
+            vals_args = (inner.values,)
+
+            def apply_window(v, xw):
+                # y[i] = sum_d v[d, i] * xw[hl + i + off_d]
+                y = jnp.zeros((v.shape[1], xw.shape[1]), xw.dtype)
+                for d, off in enumerate(offsets):
+                    y = y + v[d][:, None] * jax.lax.slice_in_dim(
+                        xw, hl + off, hl + off + v.shape[1], axis=0)
+                return y
+
+        vspecs = (P(None, ROWS),) * len(vals_args)
 
         if ndev == 1:
-            def f1(vals_local, x_local):
+            def f1(*args):
+                *vals, x_local = args
                 xw = jnp.pad(x_local, ((hl, hr), (0, 0)))
-                return apply_window(vals_local, xw)
+                return apply_window(*vals, xw)
 
             return shard_map(
                 f1, mesh=mesh,
-                in_specs=(P(None, ROWS), xspec),
+                in_specs=(*vspecs, xspec),
                 out_specs=xspec, check_vma=False,
-            )(inner.values, x)
+            )(*vals_args, x)
 
         if halo_ok:
             fwd = [(i, (i + 1) % ndev) for i in range(ndev)]
             bwd = [(i, (i - 1) % ndev) for i in range(ndev)]
 
-            def f(vals_local, x_local):
+            def f(*args):
+                *vals, x_local = args
                 left = jax.lax.ppermute(x_local[ln - hl:], ROWS, fwd) \
                     if hl else jnp.zeros((0, x_local.shape[1]), x_local.dtype)
                 right = jax.lax.ppermute(x_local[:hr], ROWS, bwd) \
                     if hr else jnp.zeros((0, x_local.shape[1]), x_local.dtype)
                 xw = jnp.concatenate([left, x_local, right], axis=0)
-                return apply_window(vals_local, xw)
+                return apply_window(*vals, xw)
         else:
-            def f(vals_local, x_local):
+            def f(*args):
+                *vals, x_local = args
                 xg = jax.lax.all_gather(x_local, ROWS, axis=0, tiled=True)
                 xpad = jnp.pad(xg, ((hl, hr), (0, 0)))
                 r0 = jax.lax.axis_index(ROWS) * ln
                 xw = jax.lax.dynamic_slice(
                     xpad, (r0, jnp.int32(0)), (hl + ln + hr, x_local.shape[1]))
-                return apply_window(vals_local, xw)
+                return apply_window(*vals, xw)
 
         return shard_map(
             f, mesh=mesh,
-            in_specs=(P(None, ROWS), xspec),
+            in_specs=(*vspecs, xspec),
             out_specs=xspec, check_vma=False,
-        )(inner.values, x)
+        )(*vals_args, x)
 
     def tree_flatten(self):
         return (self.inner,), (self.mesh,)
@@ -207,9 +248,8 @@ def shard_operator(op: LinearOperator, mesh: Mesh) -> LinearOperator:
             shard_rows(mesh, op.values), shard_rows(mesh, op.indices), op.n_cols
         )
     elif isinstance(op, DiaDF64Operator):
-        # keep the double-f32 planes; the halo path reconstructs f64
-        # per-device via the `.values` property (the df64 Pallas kernel
-        # stays a single-device fast path for now)
+        # keep the double-f32 planes; on TPU the halo path runs the df64
+        # Pallas kernel per device on the halo window (matvec above)
         sh = NamedSharding(mesh, P(None, ROWS))
         inner = DiaDF64Operator(
             jax.device_put(op.values_hi, sh),

@@ -52,6 +52,43 @@ def test_sharded_dense_matches_local(mesh, rng):
     )
 
 
+def test_sharded_dia_halo_pallas(mesh, rng, monkeypatch):
+    """Sharded DIA matvec routed through the Pallas halo-window kernels
+    (interpret mode on the CPU mesh; the on-TPU route is identical code).
+    Covers the ppermute-halo branch (narrow band) and the all-gather
+    fallback (band wider than the local block), f32 and df64."""
+    from gcge_tpu.ops.operators import DiaDF64Operator, DiaOperator
+    from gcge_tpu.parallel import dist_ops
+
+    monkeypatch.setattr(dist_ops, "_FORCE_HALO_PALLAS", True)
+    n = 1024
+    x = rng.standard_normal((n, 5))
+
+    for offs in [(-64, -1, 0, 1, 64), (-200, 0, 200)]:  # halo | all-gather
+        vals = rng.standard_normal((len(offs), n))
+        # DIA invariant (from_coo): values are 0 where i + off leaves the
+        # matrix — that's what annihilates the wraparound halo rows
+        for d, off in enumerate(offs):
+            if off > 0:
+                vals[d, n - off:] = 0.0
+            elif off < 0:
+                vals[d, :-off] = 0.0
+        dia = DiaOperator(jnp.asarray(vals), offs, n)
+        y_ref = np.asarray(dia.matvec(jnp.asarray(x)))
+
+        y64 = shard_operator(DiaDF64Operator.from_dia(dia), mesh).matvec(
+            shard_rows(mesh, jnp.asarray(x)))
+        np.testing.assert_allclose(np.asarray(y64), y_ref,
+                                   rtol=1e-9, atol=1e-11)
+
+        dia32 = DiaOperator(jnp.asarray(vals, jnp.float32), offs, n)
+        y32 = shard_operator(dia32, mesh).matvec(
+            shard_rows(mesh, jnp.asarray(x, np.float32)))
+        scale = np.abs(y_ref).max()
+        np.testing.assert_allclose(np.asarray(y32), y_ref,
+                                   rtol=1e-4, atol=1e-5 * scale)
+
+
 def test_sharded_bpcg(mesh, rng):
     n = 512
     a, _ = laplacian_1d(n)

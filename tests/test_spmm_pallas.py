@@ -42,6 +42,32 @@ def test_dia_pallas_transposed_entry(rng):
     _close(yt.T, dia.matvec(x))
 
 
+def test_dia_pallas_halo_window(rng):
+    """Halo entry: result row i reads xw[:, hl + i + off] — the local window
+    of a row-sharded matvec (boundary data from neighbors, not zero pad)."""
+    from gcge_tpu.ops.spmm_pallas import (dia_spmm_pallas_t_df64, split_df32)
+
+    n, m, hl, hr = 300, 4, 7, 5
+    offs = (-7, -1, 0, 2, 5)
+    vals = rng.standard_normal((len(offs), n))
+    xw = rng.standard_normal((m, n + hl + hr))
+    y_ref = np.zeros((m, n))
+    for d, off in enumerate(offs):
+        y_ref += vals[d][None, :] * xw[:, hl + off:hl + off + n]
+
+    yt = dia_spmm_pallas_t(
+        jnp.asarray(vals, jnp.float32), offs,
+        jnp.asarray(xw, jnp.float32), tn=512, interpret=True, halo=(hl, hr))
+    _close(yt, y_ref)
+
+    hi, lo = split_df32(jnp.asarray(vals))
+    yt64 = dia_spmm_pallas_t_df64(
+        hi, lo, offs, jnp.asarray(xw), tn=512, interpret=True, halo=(hl, hr))
+    # df64 carries ~2^-48 per product; cancellation in the random sums puts
+    # the worst relative error ~1e-11
+    np.testing.assert_allclose(np.asarray(yt64), y_ref, rtol=1e-9, atol=1e-12)
+
+
 def test_dia_pallas_large_offsets(rng):
     """Offsets larger than the default alignment (3D-stencil-like)."""
     n, m, k = 3000, 4, 700
