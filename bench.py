@@ -192,8 +192,14 @@ def main():
     from gcge_tpu.ops.operators import make_operator
 
     dia64 = make_operator(rows, cols, vals, (n, n))
+    # cg_max_iter=30 matches the reference's compW_cg_max_iter budget
+    # (test/submit.sh:18-19 uses 35-60; the driver default is 30); the mixed
+    # path splits it into cg_refine f32 CG stages with f64 residual
+    # refreshes between — 2 x 15 converges in FEWER outer iterations than
+    # one 30-step f32 run (PERFORMANCE.md: the f32 iterate stalls past ~15
+    # steps; the mid-solve f64 refresh restores progress).
     params = GCGParams(nev=nev, block_size=bs, max_iter=120, verbose=0,
-                       cg_max_iter=30, fuse=20, cg_mixed=True,
+                       cg_max_iter=30, fuse=20, cg_mixed=True, cg_refine=2,
                        cg_auto_shift=True)
     t0 = time.perf_counter()
     res = gcg_solve(dia64, None, params)

@@ -84,7 +84,11 @@ class GCGParams:
     cg_order: int = 1          # 2 -> ComputeW12 two-stage Krylov variant
     # mixed-precision inner solve: f32 transposed CG stages (Pallas DIA on
     # TPU) + f64 residual refinement.  Requires a DiaOperator A and
-    # diagonal/None B.  cg_refine = number of refinement stages.
+    # diagonal/None B.  cg_refine = number of refinement stages;
+    # cg_max_iter stays the TOTAL matvec budget (reference
+    # compW_cg_max_iter semantics) and is split evenly across the stages —
+    # measured: 2 x 15 beats 1 x 30 AND 2 x 30 in outer iterations (the f32
+    # iterate stalls past ~15 CG steps; the f64 refresh restores progress).
     cg_mixed: bool = False
     cg_refine: int = 2
     # user-defined inner solver (reference user_defined_multi_linear_solver,
@@ -293,6 +297,12 @@ def _compute_w(a_op, b_op, v, ritz, ss_eval, act_idx, act_cnt, sigma,
         # (Pallas DIA kernel on TPU) with f64 residual recomputation between
         # — the inner-solve bandwidth halves and the matvec runs the fast
         # kernel, while the correction direction stays f64-accurate.
+        # cg.max_iter is the TOTAL matvec budget (the reference's
+        # compW_cg_max_iter), split evenly across the refinement stages:
+        # measured on the 3D-Laplacian production case, 2 x 15 converges in
+        # FEWER outer iterations than 2 x 30 or 1 x 30 — past ~15 f32 CG
+        # steps the iterate stalls at the f32 floor and extra steps are
+        # wasted, while the mid-solve f64 residual refresh restores progress.
         from gcge_tpu.ops.operators import (DiaDF64Operator, DiaOperator,
                                             DiagOperator)
 
@@ -317,12 +327,14 @@ def _compute_w(a_op, b_op, v, ritz, ss_eval, act_idx, act_cnt, sigma,
             byt = yt if b32 is None else b32[None, :] * yt
             return y + s32 * byt
 
+        stage_cg = cg if refine <= 1 else BlockPCGParams(
+            **{**cg.__dict__, "max_iter": -(-cg.max_iter // refine)})
         w = xact
         niters = jnp.int32(0)
         for _ in range(refine):
             r = (rhs - shifted(w)) * fmask[None, :]
             rt = r.T.astype(jnp.float32)
-            d, info = block_pcg_t(mv32_t, rt, jnp.zeros_like(rt), cg,
+            d, info = block_pcg_t(mv32_t, rt, jnp.zeros_like(rt), stage_cg,
                                   active0=colmask)
             w = w + d.T.astype(v.dtype)
             niters = niters + info.niters
