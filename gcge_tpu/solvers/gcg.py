@@ -114,6 +114,11 @@ class GCGParams:
     # 'mgs' (column-wise, cross-check only) — the reference's
     # -gcge_*_orth_method selection (ops_orth.h:36-41)
     orth_method: str = "evp"
+    # W-block against-projection precision ('auto' == 'f64').  Naive-f32
+    # projections were measured to stall convergence in every arrangement
+    # (see solvers.orth._proj_precision); the knob is the slot-in point for
+    # an accurate fast-GEMM backend.
+    orth_proj_precision: str = "auto"
     # misc
     verbose: int = 1
     dtype: Any = jnp.float64
@@ -255,13 +260,13 @@ def _compute_p(v, ss_evec, h, act_idx, act_cnt, size_x: int, bs: int,
     jax.jit,
     static_argnames=("size_x", "bs", "cg", "zero_tol", "passes", "cg_order",
                      "linear_solver", "mixed", "refine", "precond",
-                     "orth_method"),
+                     "orth_method", "orth_prec"),
 )
 def _compute_w(a_op, b_op, v, ritz, ss_eval, act_idx, act_cnt, sigma,
                size_x: int, bs: int, cg: BlockPCGParams, zero_tol: float,
                passes: int, cg_order: int = 1, linear_solver=None,
                mixed: bool = False, refine: int = 2, precond=None,
-               orth_method: str = "evp"):
+               orth_method: str = "evp", orth_prec: str = "auto"):
     """Inverse-power correction block W.
 
     Reference ``ComputeW`` (``ops_eig_sol_gcg.c:472-695``): for the active
@@ -362,7 +367,7 @@ def _compute_w(a_op, b_op, v, ritz, ss_eval, act_idx, act_cnt, sigma,
     q = v[:, : size_x + bs]
     bmv = None if b_op is None else b_op.matvec
     w, w_cnt = orth_block_against(w, q, bmv, zero_tol=zero_tol, passes=passes,
-                                  method=orth_method)
+                                  method=orth_method, precision=orth_prec)
     v = v.at[:, size_x + bs:].set(w)
     return v, w_cnt, niters, final_res
 
@@ -495,7 +500,7 @@ def _check_convergence_traced(res, ss_eval, c0, scan_from, nev_conv_prev,
                      "linear_solver", "max_steps", "tol_abs", "tol_rel",
                      "gap_min", "auto_shift", "shift", "rr_backend",
                      "mixed", "refine", "precond", "check_max",
-                     "orth_method"),
+                     "orth_method", "orth_prec"),
 )
 def _gcg_chunk(a_op, b_op, v, ritz, ss_eval, ss_evec, h,
                act_idx, act_cnt, nev_conv, num_iter, nev_target,
@@ -505,7 +510,7 @@ def _gcg_chunk(a_op, b_op, v, ritz, ss_eval, ss_evec, h,
                gap_min: float, auto_shift: bool, shift: float,
                rr_backend: str = "auto", mixed: bool = False,
                refine: int = 2, precond=None, check_max: int = 0,
-               orth_method: str = "evp"):
+               orth_method: str = "evp", orth_prec: str = "auto"):
     """Run up to ``max_steps`` full GCG iterations on device; exits early when
     ``nev_conv >= nev_target`` or the subspace stagnates (P and W deflated)."""
     m = size_x + 2 * bs
@@ -556,7 +561,7 @@ def _gcg_chunk(a_op, b_op, v, ritz, ss_eval, ss_evec, h,
         v, w_cnt, cg_iters, cg_res = _compute_w(
             a_op, b_op, v, ritz, ss_eval, act_new, cnt_new, sigma,
             size_x, bs, cg, zero_tol, passes, cg_order, linear_solver,
-            mixed, refine, precond, orth_method)
+            mixed, refine, precond, orth_method, orth_prec)
 
         # ---- RayleighRitz + RitzVec ----
         ss_eval, ss_evec, h, ritz = _rayleigh_ritz(
@@ -783,6 +788,7 @@ def gcg_solve(
                 p.linear_solver, p.fuse, p.tol_abs, p.tol_rel, p.gap_min,
                 p.cg_auto_shift, p.cg_shift, p.rr_backend, p.cg_mixed,
                 p.cg_refine, p.linear_precond, p.check_max, p.orth_method,
+                p.orth_proj_precision,
             )
             nev_conv = int(nev_conv_d)
             num_iter = int(num_iter_d)
@@ -925,6 +931,7 @@ def gcg_solve(
             jnp.asarray(sigma, dtype), size_x, bs, cg,
             p.orth_zero_tol, p.orth_passes, p.cg_order, p.linear_solver,
             p.cg_mixed, p.cg_refine, p.linear_precond, p.orth_method,
+            p.orth_proj_precision,
         )
         jax.block_until_ready(v)
         timers["compW"] += time.perf_counter() - t0

@@ -40,7 +40,8 @@ def _rel_floor(dtype) -> float:
     return 64.0 * eps
 
 
-def orth_against(x, q, b_matvec=None, passes: int = 2):
+def orth_against(x, q, b_matvec=None, passes: int = 2,
+                 precision: str = "f64"):
     """Remove the B-projection of ``x`` onto the B-orthonormal block ``q``.
 
     ``x <- x - q (q^T B x)``, repeated ``passes`` times (classical two-pass
@@ -48,11 +49,36 @@ def orth_against(x, q, b_matvec=None, passes: int = 2):
     with an early exit on the coefficient norm, ``ops_orth.c:235-268``).
     Invalid (masked) columns of either block must be zero — zero columns
     produce zero coefficients and are no-ops.
+
+    ``precision='mixed'`` runs the two GEMMs of each pass (coefficient Gram
+    and projection update) on the f32 MXU path — measured ~20x faster than
+    the emulated-f64 matmul on TPU.  ONLY valid for MIDDLE passes
+    sandwiched between full-f64 passes, because f32 has two hard floors
+    (both measured as end-to-end convergence stalls when violated):
+
+    * it must never remove the bulk (first pass): GCG's auto-shifted W
+      carries a span(q) component up to ~1e8x the informative correction,
+      and f32 arithmetic noise ``eps_f32 * ||x||`` buries the correction;
+    * it can never be the LAST pass: an f32 inner product of unit-norm
+      columns has ~1e-7 ABSOLUTE error regardless of the true coefficient,
+      so a mixed pass *injects* ~1e-7 span(q) leakage that only a
+      subsequent f64 pass can remove.
+
+    A mixed middle pass reduces the within-block rescaling's re-amplified
+    leakage (up to ~1e-2) to the 1e-7 floor — enough for the next
+    within-block Gram — at ~5% of the f64 cost; the trailing f64 pass then
+    restores the ~1e-15 final floor exactly as in the all-f64 path.
     """
+    mixed = precision == "mixed"
+    q32 = q.astype(jnp.float32) if mixed else None
     for _ in range(passes):
         bx = x if b_matvec is None else b_matvec(x)
-        coef = gram(q, bx)
-        x = x - q @ coef
+        if mixed:
+            coef32 = q32.T @ bx.astype(jnp.float32)
+            x = x - (q32 @ coef32).astype(x.dtype)
+        else:
+            coef = gram(q, bx)
+            x = x - q @ coef
     return x
 
 
@@ -167,6 +193,23 @@ def orth_within(x, b_matvec=None, zero_tol: float = 1e-13, passes: int = 2,
     return jnp.take(x, order, axis=1), rank
 
 
+def _proj_precision(x, q, precision: str) -> str:
+    """Resolve 'auto' projection precision.
+
+    'auto' currently always means 'f64': plain-f32 MXU projections were
+    measured (2026-08-17, 3D-Laplacian nev=20 e2e) to stall GCG convergence
+    in EVERY arrangement — as a first pass they bury the shift-amplified
+    correction under ``eps_f32 * ||W||`` noise, and as a middle or trailing
+    pass their ~1e-7 ABSOLUTE coefficient error (f32 inner products of unit
+    columns) injects span(q) leakage that degrades the basis faster than
+    the f64 passes can clean it.  Projection speed on TPU must come from an
+    accurate fast GEMM (exact-product slicing on the MXU), not from naive
+    f32 — this hook is where such a backend slots in."""
+    if precision != "auto":
+        return precision
+    return "f64"
+
+
 def orth_block_against(
     x,
     q,
@@ -175,6 +218,7 @@ def orth_block_against(
     passes: int = 2,
     ref_scale2=None,
     method: str = "evp",
+    precision: str = "auto",
 ):
     """Full ``MultiVecOrth`` semantics: orth ``x`` against ``q`` then within.
 
@@ -184,14 +228,25 @@ def orth_block_against(
     scale is the entry-time column norm (before projection), so a direction
     that is small *because most of x lies in span(q)* — exactly GCG's W late
     in convergence — survives, while eps-level dependency is dropped.
+
+    ``precision`` controls the against-block projections only (see
+    :func:`orth_against`; within-block Grams, deflation and the NS polish
+    always run f64): ``'auto'`` picks the f32-MXU mixed path on TPU f64
+    where the interleave guarantees >= 3 projection passes.
     """
+    prec = _proj_precision(x, q, precision)
     if ref_scale2 is None:
         bx = x if b_matvec is None else b_matvec(x)
         d = col_dots(x, bx)
         ref_scale2 = jnp.maximum(jnp.max(d), jnp.asarray(1e-300, x.dtype))
     rank = jnp.int32(x.shape[1])
     for i in range(passes):
-        x = orth_against(x, q, b_matvec, passes=1)
+        # the FIRST projection removes the bulk — its coefficients can be
+        # ~1e8x the informative remainder (GCG's auto-shifted W), so it must
+        # run full f64; later passes handle ~eps_f32-scale coefficients
+        # where the f32 MXU path's RELATIVE error suffices (orth_against)
+        x = orth_against(x, q, b_matvec, passes=1,
+                         precision="f64" if i == 0 else prec)
         x, r = orth_within(
             x, b_matvec, zero_tol=zero_tol, passes=1,
             ref_scale2=ref_scale2 if i == 0 else None, method=method,
@@ -202,7 +257,10 @@ def orth_block_against(
     # re-amplifying their residual span(q) leakage by the same factor
     # (observed as ~1e-7 basis-orthonormality decay and spurious
     # eigenvalues below lambda_min over long huge-nev runs).  A projection
-    # leaves within-block orthonormality intact to (leakage)^2.
+    # leaves within-block orthonormality intact to (leakage)^2.  This pass
+    # must be FULL f64: it is what takes the leakage (including the ~1e-7
+    # absolute noise a mixed middle pass injects) down to the accurate-Gram
+    # floor (see orth_against).
     return orth_against(x, q, b_matvec, passes=1), rank
 
 

@@ -132,3 +132,28 @@ def test_orth_block_wide_uses_newton_eigh(rng):
     g = q[:, :r].T @ q[:, :r]
     assert np.abs(g - np.eye(r)).max() < 1e-11
     assert np.abs(q[:, r:]).max() == 0.0
+
+
+def test_orth_block_against_mixed_precision(rng):
+    """precision='mixed' (f64 first/trailing passes, f32-MXU middle pass):
+    the final cross-leakage and within-block orthonormality must still reach
+    the f64 floor — the mixed pass only touches an intermediate
+    small-coefficient projection."""
+    n, nq, m = 20000, 30, 6
+    q, _ = orth_block(jnp.asarray(rng.standard_normal((n, nq))))
+    x = rng.standard_normal((n, m))
+    # make x nearly dependent on q (the hard case: most of x lies in span(q))
+    x[:, :3] = np.asarray(q[:, :3]) + 1e-6 * x[:, :3]
+    y, rank = orth_block_against(jnp.asarray(x), q, precision="mixed")
+    assert int(rank) == m
+    yn, qn = np.asarray(y), np.asarray(q)
+    r = int(rank)
+    assert np.abs(qn.T @ yn[:, :r]).max() < 1e-12       # cross-leakage
+    np.testing.assert_allclose(yn[:, :r].T @ yn[:, :r], np.eye(r), atol=1e-11)
+    # and the result must match the f64 path's subspace: the bulk removal
+    # (first pass) and the final floor (trailing pass) are f64 in both, so
+    # even the nearly-dependent columns' noise-scale remainder directions
+    # agree to ~1e-7 * eps_f32-level angles
+    y64, _ = orth_block_against(jnp.asarray(x), q, precision="f64")
+    s = np.linalg.svd(np.asarray(y64).T @ yn, compute_uv=False)
+    np.testing.assert_allclose(s[:r], 1.0, atol=1e-9)
