@@ -76,6 +76,16 @@ def orth_against(x, q, b_matvec=None, passes: int = 2,
         if mixed:
             coef32 = q32.T @ bx.astype(jnp.float32)
             x = x - (q32 @ coef32).astype(x.dtype)
+        elif precision == "osgemm":
+            # exact-product sliced MXU GEMMs (ops.osgemm): ~2^-46-relative
+            # accuracy — the same class as the emulated-f64 matmul — at
+            # f32-kernel speeds.  Both floors that kill naive f32 (see
+            # docstring) are respected: coefficients AND the update carry
+            # f64-equivalent accuracy, so this path is valid for EVERY pass
+            # including the bulk-removal first pass and the final pass.
+            from gcge_tpu.ops.osgemm import os_expand, os_gram
+            coef = os_gram(q, bx)
+            x = x - os_expand(q, coef)
         else:
             coef = gram(q, bx)
             x = x - q @ coef
@@ -240,13 +250,16 @@ def orth_block_against(
         d = col_dots(x, bx)
         ref_scale2 = jnp.maximum(jnp.max(d), jnp.asarray(1e-300, x.dtype))
     rank = jnp.int32(x.shape[1])
+    # 'osgemm' carries f64-equivalent (~2^-46-relative) accuracy, so unlike
+    # 'mixed' it is valid for the bulk-removal first pass and the final pass
+    full = prec if prec == "osgemm" else "f64"
     for i in range(passes):
         # the FIRST projection removes the bulk — its coefficients can be
         # ~1e8x the informative remainder (GCG's auto-shifted W), so it must
-        # run full f64; later passes handle ~eps_f32-scale coefficients
-        # where the f32 MXU path's RELATIVE error suffices (orth_against)
+        # run at full accuracy; later passes handle ~eps_f32-scale
+        # coefficients where the f32 MXU path's RELATIVE error suffices
         x = orth_against(x, q, b_matvec, passes=1,
-                         precision="f64" if i == 0 else prec)
+                         precision=full if i == 0 else prec)
         x, r = orth_within(
             x, b_matvec, zero_tol=zero_tol, passes=1,
             ref_scale2=ref_scale2 if i == 0 else None, method=method,
@@ -258,10 +271,10 @@ def orth_block_against(
     # (observed as ~1e-7 basis-orthonormality decay and spurious
     # eigenvalues below lambda_min over long huge-nev runs).  A projection
     # leaves within-block orthonormality intact to (leakage)^2.  This pass
-    # must be FULL f64: it is what takes the leakage (including the ~1e-7
-    # absolute noise a mixed middle pass injects) down to the accurate-Gram
-    # floor (see orth_against).
-    return orth_against(x, q, b_matvec, passes=1), rank
+    # must be FULL accuracy (f64 or osgemm): it is what takes the leakage
+    # (including the ~1e-7 absolute noise a mixed middle pass injects) down
+    # to the accurate-Gram floor (see orth_against).
+    return orth_against(x, q, b_matvec, passes=1, precision=full), rank
 
 
 def bgs_orth(

@@ -157,3 +157,26 @@ def test_orth_block_against_mixed_precision(rng):
     y64, _ = orth_block_against(jnp.asarray(x), q, precision="f64")
     s = np.linalg.svd(np.asarray(y64).T @ yn, compute_uv=False)
     np.testing.assert_allclose(s[:r], 1.0, atol=1e-9)
+
+
+def test_orth_block_against_osgemm_precision(rng):
+    """precision='osgemm' (exact-product sliced MXU GEMMs on EVERY pass,
+    including bulk removal and the trailing pass): unlike 'mixed' it must
+    survive the shift-amplified-W case — a span(q) component ~1e8x the
+    informative remainder — and still reach the f64 cross-leakage floor."""
+    n, nq, m = 20000, 30, 6
+    q, _ = orth_block(jnp.asarray(rng.standard_normal((n, nq))))
+    x = rng.standard_normal((n, m))
+    # the GCG auto-shifted W regime: bulk in span(q) 1e8x the remainder
+    x[:, :3] = 1e8 * np.asarray(q[:, :3]) + x[:, :3]
+    y, rank = orth_block_against(jnp.asarray(x), q, precision="osgemm")
+    assert int(rank) == m
+    yn, qn = np.asarray(y), np.asarray(q)
+    r = int(rank)
+    assert np.abs(qn.T @ yn[:, :r]).max() < 1e-12       # cross-leakage
+    np.testing.assert_allclose(yn[:, :r].T @ yn[:, :r], np.eye(r), atol=1e-11)
+    # the informative remainder must survive the 1e8x bulk removal: compare
+    # against the all-f64 path's subspace
+    y64, _ = orth_block_against(jnp.asarray(x), q, precision="f64")
+    s = np.linalg.svd(np.asarray(y64).T @ yn, compute_uv=False)
+    np.testing.assert_allclose(s[:r], 1.0, atol=1e-9)
