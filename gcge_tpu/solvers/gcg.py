@@ -114,10 +114,11 @@ class GCGParams:
     # 'mgs' (column-wise, cross-check only) — the reference's
     # -gcge_*_orth_method selection (ops_orth.h:36-41)
     orth_method: str = "evp"
-    # W-block against-projection precision ('auto' == 'f64').  Naive-f32
-    # projections were measured to stall convergence in every arrangement
-    # (see solvers.orth._proj_precision); the knob is the slot-in point for
-    # an accurate fast-GEMM backend.
+    # W-block against-projection precision.  'auto' = 'osgemm' on TPU f64
+    # (exact-product sliced MXU GEMMs, ops.osgemm — measured 13.6->9.5 s
+    # e2e at nev=50), 'f64' elsewhere.  Naive 'mixed' f32 projections were
+    # measured to stall convergence in every arrangement
+    # (see solvers.orth._proj_precision).
     orth_proj_precision: str = "auto"
     # misc
     verbose: int = 1
@@ -247,9 +248,13 @@ def _compute_p(v, ss_evec, h, act_idx, act_cnt, size_x: int, bs: int,
     # a converged column's leftover is pure noise and must drop, not be
     # normalized into a garbage direction (which would destroy the basis
     # orthonormality the whole Rayleigh-Ritz recurrence relies on).
+    # precision pinned to 'f64': this is the SMALL (sizeV x bs) coefficient
+    # block, where even emulated f64 is cheap — routing it through the
+    # sliced-GEMM 'auto' path was measured to cost 2 extra outer iterations
+    # (48 -> 50 at the nev=50 bench) for no wall-clock gain
     c_p, p_cnt = orth_block_against(c_p, c_x, None, zero_tol=zero_tol,
                                     passes=passes, ref_scale2=1.0,
-                                    method=orth_method)
+                                    method=orth_method, precision="f64")
     p = v @ c_p
     h_pp = c_p.T @ (h @ c_p)
     v = v.at[:, size_x:size_x + bs].set(p)

@@ -206,17 +206,24 @@ def orth_within(x, b_matvec=None, zero_tol: float = 1e-13, passes: int = 2,
 def _proj_precision(x, q, precision: str) -> str:
     """Resolve 'auto' projection precision.
 
-    'auto' currently always means 'f64': plain-f32 MXU projections were
-    measured (2026-08-17, 3D-Laplacian nev=20 e2e) to stall GCG convergence
-    in EVERY arrangement — as a first pass they bury the shift-amplified
-    correction under ``eps_f32 * ||W||`` noise, and as a middle or trailing
-    pass their ~1e-7 ABSOLUTE coefficient error (f32 inner products of unit
-    columns) injects span(q) leakage that degrades the basis faster than
-    the f64 passes can clean it.  Projection speed on TPU must come from an
-    accurate fast GEMM (exact-product slicing on the MXU), not from naive
-    f32 — this hook is where such a backend slots in."""
+    On TPU f64, 'auto' picks 'osgemm' — the exact-product sliced MXU GEMMs
+    (``ops.osgemm``, ~2^-46-relative): measured 550x faster per Gram and
+    3.3x per expansion than the emulated-f64 matmul at the nev=50 bench
+    shapes, for a 13.6 s -> 9.5 s end-to-end solve (2026-08-17, and FEWER
+    outer iterations: 48 vs 53 — the sliced Grams are slightly more
+    accurate than the chunked-compensated path).  Elsewhere (true-f64
+    backends) native f64 GEMMs are faster, so 'auto' stays 'f64'.
+
+    Plain-f32 MXU projections are NOT eligible for 'auto': measured
+    (3D-Laplacian nev=20 e2e) to stall GCG convergence in EVERY arrangement
+    — as a first pass they bury the shift-amplified correction under
+    ``eps_f32 * ||W||`` noise, and as a middle or trailing pass their ~1e-7
+    ABSOLUTE coefficient error injects span(q) leakage that degrades the
+    basis faster than the f64 passes can clean it."""
     if precision != "auto":
         return precision
+    if jax.default_backend() == "tpu" and x.dtype == jnp.float64:
+        return "osgemm"
     return "f64"
 
 
