@@ -120,6 +120,14 @@ class GCGParams:
     # measured to stall convergence in every arrangement
     # (see solvers.orth._proj_precision).
     orth_proj_precision: str = "auto"
+    # Large-n GEMM precision for the Rayleigh-Ritz phase: the V^T(AW) Gram,
+    # the Ritz recombination V @ C, and the ComputeP expansion V @ cP.
+    # 'auto' = 'osgemm' on TPU f64 (measured at the nev=50 bench shapes:
+    # os_gram 8.2 ms vs 15.7 ms chunked Gram; os_expand 11.6 ms vs 41.4 ms
+    # emulated-f64 matmul for the (157k x 120)(120 x 100) recombination),
+    # 'f64' elsewhere.  The SMALL coefficient-block algebra (c^T H c, the
+    # projected eigh, the cP orth) always stays f64.
+    rr_gemm_precision: str = "auto"
     # misc
     verbose: int = 1
     dtype: Any = jnp.float64
@@ -188,6 +196,37 @@ def _matvec(op, x):
     return x if op is None else op.matvec(x)
 
 
+def _resolve_rr_gemm(precision: str, dtype) -> str:
+    """Resolve GCGParams.rr_gemm_precision 'auto' (see the field comment)."""
+    if precision != "auto":
+        return precision
+    if jax.default_backend() == "tpu" and jnp.dtype(dtype) == jnp.float64:
+        return "osgemm"
+    return "f64"
+
+
+def _big_gram(q, x, prec: str):
+    """(n,p)^T(n,q) Gram of tall multivectors at full accuracy."""
+    if prec == "osgemm":
+        from gcge_tpu.ops.osgemm import os_gram
+
+        return os_gram(q, x)
+    return gram(q, x)
+
+
+def _big_expand(v, c, prec: str):
+    """(n,m)(m,k) recombination of a tall basis at full accuracy.
+
+    'osgemm_expand' routes only the expansions through the sliced GEMM and
+    keeps the RR Gram on the chunked-compensated path (~3x more accurate) —
+    the A/B hybrid knob."""
+    if prec in ("osgemm", "osgemm_expand"):
+        from gcge_tpu.ops.osgemm import os_expand
+
+        return os_expand(v, c)
+    return v @ c
+
+
 def _eigh(h, backend: str):
     """Projected-problem eigensolve; see :mod:`gcge_tpu.ops.eighs` for why
     plain device eigh is not enough on emulated-f64 TPUs."""
@@ -229,9 +268,10 @@ def _residual_norms(a_op, b_op, ritz, ss_eval, c0, size_x: int, cw: int):
 
 
 @partial(jax.jit, static_argnames=("size_x", "bs", "zero_tol", "passes",
-                                   "orth_method"))
+                                   "orth_method", "gemm_prec"))
 def _compute_p(v, ss_evec, h, act_idx, act_cnt, size_x: int, bs: int,
-               zero_tol: float, passes: int, orth_method: str = "evp"):
+               zero_tol: float, passes: int, orth_method: str = "evp",
+               gemm_prec: str = "f64"):
     """Form the P (previous search direction) block.
 
     Reference ``ComputeP`` (``ops_eig_sol_gcg.c:316-457``): take the subspace
@@ -255,7 +295,7 @@ def _compute_p(v, ss_evec, h, act_idx, act_cnt, size_x: int, bs: int,
     c_p, p_cnt = orth_block_against(c_p, c_x, None, zero_tol=zero_tol,
                                     passes=passes, ref_scale2=1.0,
                                     method=orth_method, precision="f64")
-    p = v @ c_p
+    p = _big_expand(v, c_p, gemm_prec)
     h_pp = c_p.T @ (h @ c_p)
     v = v.at[:, size_x:size_x + bs].set(p)
     return v, c_p, p_cnt, h_pp
@@ -377,9 +417,9 @@ def _compute_w(a_op, b_op, v, ritz, ss_eval, act_idx, act_cnt, sigma,
     return v, w_cnt, niters, final_res
 
 
-@partial(jax.jit, static_argnames=("size_x", "bs", "rr_backend"))
+@partial(jax.jit, static_argnames=("size_x", "bs", "rr_backend", "gemm_prec"))
 def _rayleigh_ritz(a_op, v, h_pp, ss_eval, p_cnt, w_cnt, size_x: int, bs: int,
-                   rr_backend: str = "auto"):
+                   rr_backend: str = "auto", gemm_prec: str = "f64"):
     """Assemble the projected matrix and solve the small eigenproblem.
 
     Reference ``ComputeRayleighRitz`` (``ops_eig_sol_gcg.c:925-1252``):
@@ -391,7 +431,7 @@ def _rayleigh_ritz(a_op, v, h_pp, ss_eval, p_cnt, w_cnt, size_x: int, bs: int,
     m = size_x + 2 * bs
     wblk = v[:, size_x + bs:]
     aw = a_op.matvec(wblk)
-    h_vw = gram(v, aw)                                  # (m, bs)
+    h_vw = _big_gram(v, aw, gemm_prec)                  # (m, bs)
     wmask = (jnp.arange(bs) < w_cnt).astype(v.dtype)
     h_vw = h_vw * wmask[None, :]
 
@@ -418,7 +458,7 @@ def _rayleigh_ritz(a_op, v, h_pp, ss_eval, p_cnt, w_cnt, size_x: int, bs: int,
     act_tot = size_x + p_cnt + w_cnt
     lam_pad = jnp.take(w, act_tot - 1)
     ss_eval_new = jnp.where(jnp.arange(m) < act_tot, w, lam_pad)
-    ritz = v @ c[:, :size_x]
+    ritz = _big_expand(v, c[:, :size_x], gemm_prec)
     return ss_eval_new, c, h, ritz
 
 
@@ -505,7 +545,7 @@ def _check_convergence_traced(res, ss_eval, c0, scan_from, nev_conv_prev,
                      "linear_solver", "max_steps", "tol_abs", "tol_rel",
                      "gap_min", "auto_shift", "shift", "rr_backend",
                      "mixed", "refine", "precond", "check_max",
-                     "orth_method", "orth_prec"),
+                     "orth_method", "orth_prec", "gemm_prec"),
 )
 def _gcg_chunk(a_op, b_op, v, ritz, ss_eval, ss_evec, h,
                act_idx, act_cnt, nev_conv, num_iter, nev_target,
@@ -515,7 +555,8 @@ def _gcg_chunk(a_op, b_op, v, ritz, ss_eval, ss_evec, h,
                gap_min: float, auto_shift: bool, shift: float,
                rr_backend: str = "auto", mixed: bool = False,
                refine: int = 2, precond=None, check_max: int = 0,
-               orth_method: str = "evp", orth_prec: str = "auto"):
+               orth_method: str = "evp", orth_prec: str = "auto",
+               gemm_prec: str = "f64"):
     """Run up to ``max_steps`` full GCG iterations on device; exits early when
     ``nev_conv >= nev_target`` or the subspace stagnates (P and W deflated)."""
     m = size_x + 2 * bs
@@ -547,7 +588,7 @@ def _gcg_chunk(a_op, b_op, v, ritz, ss_eval, ss_evec, h,
         # ---- ComputeP from the PREVIOUS active set ----
         v_p, c_p, p_cnt, h_pp = _compute_p(
             v, ss_evec, h, act_idx, act_cnt, size_x, bs, zero_tol, passes,
-            orth_method)
+            orth_method, gemm_prec)
         p_cnt = jnp.where(first, jnp.int32(0), p_cnt)
         h_pp = jnp.where(first, jnp.zeros_like(h_pp), h_pp)
         pmask = (jnp.arange(bs) < p_cnt).astype(v.dtype)
@@ -570,7 +611,8 @@ def _gcg_chunk(a_op, b_op, v, ritz, ss_eval, ss_evec, h,
 
         # ---- RayleighRitz + RitzVec ----
         ss_eval, ss_evec, h, ritz = _rayleigh_ritz(
-            a_op, v, h_pp, ss_eval, p_cnt, w_cnt, size_x, bs, rr_backend)
+            a_op, v, h_pp, ss_eval, p_cnt, w_cnt, size_x, bs, rr_backend,
+            gemm_prec)
 
         stall = jnp.where((p_cnt == 0) & (w_cnt == 0), stall + 1, jnp.int32(0))
         return (v, ritz, ss_eval, ss_evec, h, act_new, cnt_new, nev_conv,
@@ -582,14 +624,15 @@ def _gcg_chunk(a_op, b_op, v, ritz, ss_eval, ss_evec, h,
     return jax.lax.while_loop(cond, body, st0)
 
 
-@partial(jax.jit, static_argnames=("extra",))
-def _expand_ritz(v, ss_evec, ritz, size_x_old, extra: int):
+@partial(jax.jit, static_argnames=("extra", "gemm_prec"))
+def _expand_ritz(v, ss_evec, ritz, size_x_old, extra: int,
+                 gemm_prec: str = "f64"):
     """Restart growth: append P/W Ritz combinations as new X columns
     (``ops_eig_sol_gcg.c:1400-1428``)."""
-    new_cols = v @ jax.lax.dynamic_slice(
+    new_cols = _big_expand(v, jax.lax.dynamic_slice(
         ss_evec, (jnp.int32(0), size_x_old.astype(jnp.int32)),
         (ss_evec.shape[0], extra),
-    )
+    ), gemm_prec)
     return jnp.concatenate([ritz, new_cols], axis=1)
 
 
@@ -723,6 +766,7 @@ def gcg_solve(
     cg = BlockPCGParams(
         max_iter=p.cg_max_iter, rate=p.cg_rate, tol=p.cg_tol, tol_type=p.cg_tol_type
     )
+    gemm_prec = _resolve_rr_gemm(p.rr_gemm_precision, dtype)
 
     timers = {k: 0.0 for k in
               ("initX", "checkconv", "compP", "compX", "compW", "linsol",
@@ -793,7 +837,7 @@ def gcg_solve(
                 p.linear_solver, p.fuse, p.tol_abs, p.tol_rel, p.gap_min,
                 p.cg_auto_shift, p.cg_shift, p.rr_backend, p.cg_mixed,
                 p.cg_refine, p.linear_precond, p.check_max, p.orth_method,
-                p.orth_proj_precision,
+                p.orth_proj_precision, gemm_prec,
             )
             nev_conv = int(nev_conv_d)
             num_iter = int(num_iter_d)
@@ -809,7 +853,8 @@ def gcg_solve(
                     break
                 # restart growth (host; same as the phase-wise path)
                 extra = min(2 * bs, p.nev_max - size_x)
-                ritz = _expand_ritz(v, ss_evec, ritz, jnp.int32(size_x), extra)
+                ritz = _expand_ritz(v, ss_evec, ritz, jnp.int32(size_x), extra,
+                                    gemm_prec)
                 size_x += extra
                 nev_target = min(nev_target + extra, nev0)
                 m = size_x + 2 * bs
@@ -883,7 +928,8 @@ def gcg_solve(
                 break
             # grow sizeX by the P+W widths (reference restart, :1400-1428)
             extra = min(2 * bs, p.nev_max - size_x)
-            ritz = _expand_ritz(v, ss_evec, ritz, jnp.int32(size_x), extra)
+            ritz = _expand_ritz(v, ss_evec, ritz, jnp.int32(size_x), extra,
+                                    gemm_prec)
             size_x += extra
             nev_target = min(nev_target + extra, nev0)
             m = size_x + 2 * bs
@@ -918,6 +964,7 @@ def gcg_solve(
                 "compP", _compute_p, v, ss_evec, h,
                 jnp.asarray(act_idx_prev), jnp.int32(act_cnt_prev),
                 size_x, bs, p.orth_zero_tol, p.orth_passes, p.orth_method,
+                gemm_prec,
             )
 
         # ---- ComputeX ----------------------------------------------------
@@ -947,7 +994,8 @@ def gcg_solve(
         # ---- RayleighRitz + RitzVec ---------------------------------------
         t0 = time.perf_counter()
         ss_eval, ss_evec, h, ritz = _rayleigh_ritz(
-            a_op, v, h_pp, ss_eval, p_cnt, w_cnt, size_x, bs, p.rr_backend
+            a_op, v, h_pp, ss_eval, p_cnt, w_cnt, size_x, bs, p.rr_backend,
+            gemm_prec,
         )
         jax.block_until_ready(ritz)
         timers["compRR"] += time.perf_counter() - t0

@@ -311,3 +311,26 @@ def test_gcg_long_run_basis_stability():
     # corruption:
     assert res.eval[0] > 2e-3
     assert np.abs(res.eval[:200] - exact[:200]).max() < 1e-9 * exact.max()
+
+
+def test_gcg_rr_gemm_osgemm_precision():
+    """rr_gemm_precision='osgemm' routes the RR Gram, Ritz recombination,
+    and ComputeP expansion through the exact-product sliced GEMMs
+    (ops.osgemm) — the TPU-f64 'auto' default.  Must converge to the same
+    spectrum as the f64 path, fused and phase-wise."""
+    n, nev = 400, 10
+    a, _ = laplacian_1d(n)
+    exact = laplacian_1d_eigs(n)
+    op = DenseOperator(jnp.asarray(a))
+    for fuse in (0, 8):
+        r = gcg_solve(op, None, GCGParams(
+            nev=nev, max_iter=80, verbose=0, fuse=fuse,
+            rr_gemm_precision="osgemm", orth_proj_precision="osgemm"))
+        assert r.nev_conv >= nev
+        np.testing.assert_allclose(r.eval[:nev], exact[:nev], rtol=1e-7)
+    # restart-growth path exercises _expand_ritz under osgemm
+    rg = gcg_solve(op, None, GCGParams(nev=nev, block_size=3, nev_max=20,
+                                       nev_init=11, max_iter=120, verbose=0,
+                                       fuse=4, rr_gemm_precision="osgemm"))
+    assert rg.nev_conv >= nev
+    np.testing.assert_allclose(rg.eval[:nev], exact[:nev], rtol=1e-7)
