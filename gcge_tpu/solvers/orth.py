@@ -92,12 +92,31 @@ def orth_against(x, q, b_matvec=None, passes: int = 2,
     return x
 
 
+def _gram_p(a, b, precision: str):
+    """Full-accuracy tall Gram ``a^T b``, osgemm-routable."""
+    if precision == "osgemm":
+        from gcge_tpu.ops.osgemm import os_gram
+
+        return os_gram(a, b)
+    return gram(a, b)
+
+
+def _expand_p(a, c, precision: str):
+    """Full-accuracy recombination ``a @ c``, osgemm-routable."""
+    if precision == "osgemm":
+        from gcge_tpu.ops.osgemm import os_expand
+
+        return os_expand(a, c)
+    return a @ c
+
+
 def orth_block(
     x,
     b_matvec=None,
     zero_tol: float = 1e-13,
     passes: int = 2,
     ref_scale2=None,
+    precision: str = "f64",
 ):
     """B-orthonormalize the columns of ``x`` with rank deflation.
 
@@ -124,7 +143,7 @@ def orth_block(
     floor = _rel_floor(x.dtype)
     for i in range(passes):
         bx = x if b_matvec is None else b_matvec(x)
-        g = gram(x, bx)
+        g = _gram_p(x, bx, precision)
         g = 0.5 * (g + g.T)
         from gcge_tpu.ops.eighs import F32_WARM_MIN_M, eigh_newton, safe_eigh
 
@@ -152,12 +171,12 @@ def orth_block(
         thresh = jnp.maximum(thresh, floor * w_max)
         valid = w > thresh
         scale = jnp.where(valid, jax.lax.rsqrt(jnp.where(valid, w, 1.0)), 0.0)
-        x = x @ (u * scale[None, :])
+        x = _expand_p(x, u * scale[None, :], precision)
         rank = jnp.minimum(rank, jnp.sum(valid).astype(jnp.int32))
-    return _ns_polish(x, b_matvec), rank
+    return _ns_polish(x, b_matvec, precision), rank
 
 
-def _ns_polish(x, b_matvec=None):
+def _ns_polish(x, b_matvec=None, precision: str = "f64"):
     """One Newton-Schulz step ``x <- x (3I - x^T B x)/2``.
 
     The EVP recombination above inherits the device eigh's backtransform
@@ -168,13 +187,13 @@ def _ns_polish(x, b_matvec=None):
     rows/columns, so their NS update is ``1.5 * 0 = 0``: compaction is
     preserved exactly."""
     bx = x if b_matvec is None else b_matvec(x)
-    g = gram(x, bx)
+    g = _gram_p(x, bx, precision)
     m = x.shape[1]
-    return x @ (1.5 * jnp.eye(m, dtype=x.dtype) - 0.5 * g)
+    return _expand_p(x, 1.5 * jnp.eye(m, dtype=x.dtype) - 0.5 * g, precision)
 
 
 def orth_within(x, b_matvec=None, zero_tol: float = 1e-13, passes: int = 2,
-                ref_scale2=None, method: str = "evp"):
+                ref_scale2=None, method: str = "evp", precision: str = "f64"):
     """In-block B-orthonormalization dispatcher.
 
     ``method`` mirrors the reference's orth-method selection
@@ -186,7 +205,7 @@ def orth_within(x, b_matvec=None, zero_tol: float = 1e-13, passes: int = 2,
     """
     if method == "evp":
         return orth_block(x, b_matvec, zero_tol=zero_tol, passes=passes,
-                          ref_scale2=ref_scale2)
+                          ref_scale2=ref_scale2, precision=precision)
     if method == "bgs":
         x, rank = bgs_orth(x, b_matvec, zero_tol=zero_tol, passes=passes,
                            ref_scale2=ref_scale2)
@@ -246,10 +265,11 @@ def orth_block_against(
     that is small *because most of x lies in span(q)* — exactly GCG's W late
     in convergence — survives, while eps-level dependency is dropped.
 
-    ``precision`` controls the against-block projections only (see
-    :func:`orth_against`; within-block Grams, deflation and the NS polish
-    always run f64): ``'auto'`` picks the f32-MXU mixed path on TPU f64
-    where the interleave guarantees >= 3 projection passes.
+    ``precision`` controls the large-n GEMMs: the against-block projections
+    (see :func:`orth_against`) and — when it resolves to the full-accuracy
+    'osgemm' path — the within-block Grams, EVP recombinations and the NS
+    polish too (:func:`orth_block`); the small eigh/deflation algebra always
+    runs f64.  ``'auto'`` resolves per backend (see :func:`_proj_precision`).
     """
     prec = _proj_precision(x, q, precision)
     if ref_scale2 is None:
@@ -270,6 +290,7 @@ def orth_block_against(
         x, r = orth_within(
             x, b_matvec, zero_tol=zero_tol, passes=1,
             ref_scale2=ref_scale2 if i == 0 else None, method=method,
+            precision=full,
         )
         rank = jnp.minimum(rank, r)
     # one final PROJECTION pass: the last within-block recombination
