@@ -1,0 +1,376 @@
+"""Pallas TPU kernels for the exact-product sliced GEMM (``ops.osgemm``).
+
+The XLA formulation of ``os_gram``/``os_expand`` materializes the bf16
+slice planes (1.75x the f64 bytes), the padded chunk views, and — for the
+Gram — the per-chunk (S*p, S*q) product slabs, then re-reads all of them:
+~5-6x the minimal HBM traffic.  These kernels fuse the whole pipeline per
+block while it is resident in VMEM:
+
+  load f64-as-(hi, lo) f32 pair -> scale by the power-of-2 scales (exact)
+  -> peel the 7 bf16 fixed-point slices (exact f32 VPU ops) -> MXU dots on
+  the stacked slice planes -> doubly-compensated f32 accumulation across
+  blocks (Gram) or compensated pair-block combination (expand), in VMEM.
+
+Layout (learned the hard way — the first, natural-layout version measured
+13x SLOWER than the XLA path): everything runs TRANSPOSED, with the long
+axis n on the 128-wide lanes and the slice planes stacked along SUBLANES
+at 16-aligned offsets, so
+
+* every slice store/slice read in VMEM is tile-aligned (a lane-offset
+  slice at a non-128 multiple forces a Mosaic relayout per touch);
+* the Gram contraction runs over the LANE axis (``A B^T`` form) and the
+  expand contraction is a plain ``(M, K) @ (K, N)`` — both native MXU
+  shapes (the natural layout needed a sublane-contraction, i.e. an
+  implicit transpose, per step).
+
+The f64 <-> (hi, lo) split, the operand transposes, and the final
+recombination run in XLA around the kernel (Mosaic has no f64, like the
+df64 SpMM kernel in ``ops.spmm_pallas``).  Outputs are chunked so no
+single pallas_call result exceeds ~12 MB — this runtime's XLA places
+custom-call results in scoped VMEM when it can and hard-fails past 16 MB
+(same workaround as the DIA kernels).
+
+Arithmetic is IDENTICAL to ``ops.osgemm`` (same slices, same exactness
+arguments, same compensation order), so ``os_gram_xla`` remains the
+accuracy oracle; every in-chunk MXU accumulation of NR <= 1024 exact
+14-bit products stays below 2^24 (exact in f32).
+
+Reference being replaced: the BLAS ``dgemm``/``dsymm`` behind
+``DenseMatQtAP``/``MultiVecLinearComb``
+(``/root/reference/app/app_lapack.c:24-227,463-534``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gcge_tpu.ops.osgemm import BITS, SLICES, _PAIRS
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# lanes (rows of the original operands) per grid step: the MXU accumulates
+# NR exact (2*BITS)-bit products per output element; NR * 2^(2*BITS) < 2^24
+# keeps the f32 accumulator exact.
+_NR_MAX = 1 << (24 - 2 * BITS)          # 1024 at BITS=7
+
+
+def _pow2_scale_1d(m):
+    """Power-of-2 scales >= the true column maxima, from f32 hi-plane
+    maxima (the hi plane underestimates |x| by at most 2^-24 relative; the
+    (1 + 3e-7) inflation absorbs that before the ceil)."""
+    e = jnp.ceil(jnp.log2(jnp.where(m > 0, m * jnp.float32(1 + 3e-7), 1.0)))
+    e = jnp.clip(e, -100.0, 100.0)
+    # exp2 must run in f64: the f32 lowering (exp(x*ln2)) returns 8192.004
+    # for e=13 — not a power of two, which silently breaks every exactness
+    # invariant of the scheme (measured as a 2e-9 accuracy collapse)
+    return jnp.exp2(e.astype(jnp.float64)).astype(jnp.float32)
+
+
+def _split_scaled_t(x64, axis_scale: int):
+    """f64 (n, w) -> pow2 scales along ``axis_scale`` + exact (hi, lo) f32
+    planes of the TRANSPOSED scaled array (w, n).
+
+    Everything after the one elementwise hi/lo split runs in f32 — on
+    emulated-f64 runtimes an f64 transpose moves 4x the bytes (measured as
+    the entire 380 ms cost of the first version of these wrappers).
+    Power-of-2 scaling commutes with the hi/lo rounding (``fl(x)*s =
+    fl(x*s)`` for pow2 ``s``), so scaling the split planes equals
+    splitting the scaled array."""
+    hi = x64.astype(jnp.float32)
+    lo = (x64 - hi.astype(jnp.float64)).astype(jnp.float32)
+    sigma = _pow2_scale_1d(jnp.max(jnp.abs(hi), axis=1 - axis_scale,
+                                   keepdims=True))  # max over the other axis
+    inv = 1.0 / sigma
+    hi_t = (hi * inv).T
+    lo_t = (lo * inv).T
+    return sigma.reshape(-1), hi_t, lo_t
+
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _peel_stack(hi, lo, cat_ref, height: int):
+    """Peel the SLICES bf16 fixed-point planes of ``hi + lo`` (shape
+    (height, nr), rows = original columns) into ``cat_ref`` sublane bands
+    ``[k*height, (k+1)*height)``.  ``height`` must be a multiple of 16 so
+    every bf16 store is tile-aligned.  Same arithmetic as
+    ``osgemm.slice_planes``: exact f32 round-to-grid peels, the lo plane
+    merged by an exact two-sum."""
+    r = hi
+    for k in range(3):
+        u = jnp.float32(2.0 ** (-BITS * (k + 1)))
+        inv_u = jnp.float32(2.0 ** (BITS * (k + 1)))
+        s = jnp.round(r * inv_u) * u
+        r = r - s
+        cat_ref[k * height:(k + 1) * height, :] = s.astype(jnp.bfloat16)
+    r, r_lo = _two_sum(r, lo)
+    for k in range(3, SLICES):
+        u = jnp.float32(2.0 ** (-BITS * (k + 1)))
+        inv_u = jnp.float32(2.0 ** (BITS * (k + 1)))
+        s = jnp.round(r * inv_u) * u
+        r = r - s
+        if k == 4:
+            r = r + r_lo
+        cat_ref[k * height:(k + 1) * height, :] = s.astype(jnp.bfloat16)
+
+
+# --------------------------------------------------------------------------
+# os_gram: a^T b, both operands transposed to (p, n) / (q, n)
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("nr", "pb", "interpret"))
+def _os_gram_kernel_call(ahi_t, alo_t, bhi_t, blo_t, nr: int, pb: int,
+                         interpret: bool):
+    """Slice-product slabs of ``a^T b`` from transposed (hi, lo) planes
+    ``(p, n)`` / ``(q, n)``: returns the doubly-compensated (hi, lo, lo2)
+    f32 triple of shape (P_blocks * S*pb, S*qp)."""
+    p, n = ahi_t.shape
+    q = bhi_t.shape[0]
+    qp = _round_up(q, 16)
+    n_pad = _round_up(n, nr)
+    pblocks = -(-p // pb)
+    p_pad = pblocks * pb
+    grid_c = n_pad // nr
+
+    def pad2(x, h, w):
+        return jnp.zeros((h, w), x.dtype).at[:x.shape[0], :x.shape[1]].set(x)
+
+    ahi_p, alo_p = pad2(ahi_t, p_pad, n_pad), pad2(alo_t, p_pad, n_pad)
+    bhi_p, blo_p = pad2(bhi_t, qp, n_pad), pad2(blo_t, qp, n_pad)
+
+    sp, sq = SLICES * pb, SLICES * qp
+
+    def kernel(ahi_ref, alo_ref, bhi_ref, blo_ref,
+               ohi_ref, olo_ref, olo2_ref,
+               acat_ref, bcat_ref, hi_ref, lo_ref, lo2_ref):
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _init():
+            hi_ref[:] = jnp.zeros((sp, sq), jnp.float32)
+            lo_ref[:] = jnp.zeros((sp, sq), jnp.float32)
+            lo2_ref[:] = jnp.zeros((sp, sq), jnp.float32)
+
+        _peel_stack(ahi_ref[:], alo_ref[:], acat_ref, pb)
+        _peel_stack(bhi_ref[:], blo_ref[:], bcat_ref, qp)
+        # contraction over the LANE axis: acat (S*pb, nr) x bcat (S*qp, nr)
+        # -> (S*pb, S*qp), the MXU's "A B^T" form
+        slab = jax.lax.dot_general(
+            acat_ref[:], bcat_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        hi, err = _two_sum(hi_ref[:], slab)
+        lo, err2 = _two_sum(lo_ref[:], err)
+        hi_ref[:] = hi
+        lo_ref[:] = lo
+        lo2_ref[:] = lo2_ref[:] + err2
+
+        @pl.when(c == grid_c - 1)
+        def _flush():
+            ohi_ref[:] = hi_ref[:]
+            olo_ref[:] = lo_ref[:]
+            olo2_ref[:] = lo2_ref[:]
+
+    a_spec = pl.BlockSpec((pb, nr), lambda pi, c: (pi, c),
+                          memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((qp, nr), lambda pi, c: (pi * 0, c),
+                          memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((sp, sq), lambda pi, c: (pi, c * 0),
+                          memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((pblocks * sp, sq), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(out_shape, out_shape, out_shape),
+        grid=(pblocks, grid_c),
+        in_specs=[a_spec, a_spec, b_spec, b_spec],
+        out_specs=(o_spec, o_spec, o_spec),
+        scratch_shapes=[pltpu.VMEM((sp, nr), jnp.bfloat16),
+                        pltpu.VMEM((sq, nr), jnp.bfloat16),
+                        pltpu.VMEM((sp, sq), jnp.float32),
+                        pltpu.VMEM((sp, sq), jnp.float32),
+                        pltpu.VMEM((sp, sq), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * SLICES * SLICES * n_pad * p_pad * qp,
+            bytes_accessed=8 * n_pad * (p_pad + qp * pblocks),
+            transcendentals=0,
+        ),
+    )(ahi_p, alo_p, bhi_p, blo_p)
+
+
+def os_gram_pallas(a, b, interpret: bool | None = None):
+    """Fused-kernel ``a^T @ b`` ((n, p), (n, q) f64 -> (p, q) f64) via
+    exact-product bf16 slices; drop-in for :func:`osgemm.os_gram`."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _os_gram_pallas_jit(a, b, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _os_gram_pallas_jit(a, b, interpret: bool):
+    # standalone callers must not pay one remote dispatch per prologue op
+    # (~25 ms each on tunneled TPUs — measured 430 ms for the un-jitted
+    # wrapper vs ~7 ms for the same math under jit)
+    n, p = a.shape
+    q = b.shape[1]
+    sa, ahi_t, alo_t = _split_scaled_t(a, 1)   # per-column scales
+    sb, bhi_t, blo_t = _split_scaled_t(b, 1)
+    # block p so slab triple + slice stacks fit VMEM (~16 MB scoped)
+    pb = _round_up(p, 16) if p <= 128 else 128
+    nr = _NR_MAX
+    qp = _round_up(q, 16)
+    while nr > 256 and (
+            nr * (SLICES * (pb + qp) * 2 + 12 * (pb + qp))
+            + 3 * 4 * SLICES * SLICES * pb * qp) > 10 * 2**20:
+        nr //= 2
+    hi, lo, lo2 = _os_gram_kernel_call(ahi_t, alo_t, bhi_t, blo_t, nr, pb,
+                                       interpret)
+    pblocks = -(-p // pb)
+    sp = SLICES * pb
+    # (P_blocks*S*pb, S*qp) -> pair blocks; the in-coverage pair sum runs in
+    # f64 (28 adds of ~2^-46-accurate terms — rounding far below the floor)
+    def blocks(x):
+        x = x.reshape(pblocks, SLICES, pb, SLICES, qp)
+        return jnp.moveaxis(x, 1, 0).reshape(SLICES, pblocks * pb, SLICES, qp)
+    hi_b, lo_b, lo2_b = blocks(hi), blocks(lo), blocks(lo2)
+    out = jnp.zeros((pblocks * pb, qp), jnp.float64)
+    for i, j in _PAIRS:
+        out = out + (hi_b[i, :, j].astype(jnp.float64)
+                     + lo_b[i, :, j].astype(jnp.float64)
+                     + lo2_b[i, :, j].astype(jnp.float64))
+    out = out[:p, :q]
+    return out * sa.astype(jnp.float64)[:, None] * sb.astype(jnp.float64)[None, :]
+
+
+# --------------------------------------------------------------------------
+# os_expand: a @ c, computed transposed as (c^T)(a^T) with a^T = (k, n)
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("nr", "q", "interpret"))
+def _os_expand_kernel_call(ahi_t, alo_t, ccat, nr: int, q: int,
+                           interpret: bool):
+    """Transposed expand: a^T planes (k, n), resident c slice stack
+    ``ccat`` (S*qp, k).  Per lane block: peel a's slices (k, nr) one at a
+    time, one MXU dot against the full c stack, pair blocks combined with
+    compensation (i+j <= 4) / plain adds (tail) exactly as in
+    ``osgemm.os_expand``.  Returns (hi, lo) f32 of shape (qp, n_pad)."""
+    k, n = ahi_t.shape
+    sqp = ccat.shape[0]
+    qp = sqp // SLICES
+    n_pad = _round_up(n, nr)
+
+    def padn(x):
+        return jnp.zeros((k, n_pad), x.dtype).at[:, :n].set(x)
+
+    ahi_p, alo_p = padn(ahi_t), padn(alo_t)
+
+    def kernel(ahi_ref, alo_ref, ccat_ref, ohi_ref, olo_ref):
+        hi = jnp.zeros((qp, nr), jnp.float32)
+        lo = jnp.zeros((qp, nr), jnp.float32)
+        small = jnp.zeros((qp, nr), jnp.float32)
+        r = ahi_ref[:]
+        lo_in = alo_ref[:]
+        r_lo = None
+        for i in range(SLICES):
+            u = jnp.float32(2.0 ** (-BITS * (i + 1)))
+            inv_u = jnp.float32(2.0 ** (BITS * (i + 1)))
+            s = jnp.round(r * inv_u) * u
+            r = r - s
+            if i == 2:
+                r, r_lo = _two_sum(r, lo_in)
+            if i == 4:
+                r = r + r_lo
+            # (S*qp, k) @ (k, nr) -> (S*qp, nr): block j = pair (i, j)
+            di = jax.lax.dot_general(
+                ccat_ref[:], s.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            for j in range(SLICES - i):
+                blk = di[j * qp:(j + 1) * qp, :]
+                if i + j <= 4:
+                    hi, err = _two_sum(hi, blk)
+                    lo = lo + err
+                else:
+                    small = small + blk
+        ohi_ref[:] = hi
+        olo_ref[:] = lo + small
+
+    a_spec = pl.BlockSpec((k, nr), lambda c: (c * 0, c),
+                          memory_space=pltpu.VMEM)
+    c_spec = pl.BlockSpec((sqp, k), lambda c: (c * 0, c * 0),
+                          memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((qp, nr), lambda c: (c * 0, c),
+                          memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((qp, n_pad), jnp.float32)
+    ohi, olo = pl.pallas_call(
+        kernel,
+        out_shape=(out_shape, out_shape),
+        grid=(n_pad // nr,),
+        in_specs=[a_spec, a_spec, c_spec],
+        out_specs=(o_spec, o_spec),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * SLICES * SLICES * n_pad * k * qp,
+            bytes_accessed=8 * n_pad * k + 8 * n_pad * qp,
+            transcendentals=0,
+        ),
+    )(ahi_p, alo_p, ccat)
+    return ohi, olo
+
+
+def os_expand_pallas(a, c, interpret: bool | None = None):
+    """Fused-kernel ``a @ c`` ((n, k) f64, k <= 1024, (k, q) f64 ->
+    (n, q) f64); drop-in for :func:`osgemm.os_expand`."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _os_expand_pallas_jit(a, c, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _os_expand_pallas_jit(a, c, interpret: bool):
+    n, k = a.shape
+    q = c.shape[1]
+    assert k <= _NR_MAX, "contraction too long for os_expand"
+    qp = _round_up(q, 16)
+    # per-ROW scales of a (the non-contracted index)
+    sa_r, ahi_t, alo_t = _split_scaled_t(a, 0)
+    # c is small: slice in XLA (osgemm.slice_planes), stack c^T planes on
+    # sublanes at qp-aligned offsets
+    from gcge_tpu.ops.osgemm import slice_planes
+
+    sc_sl, sc = slice_planes(c)                       # (S, k, q) bf16
+    ccat = jnp.zeros((SLICES * qp, k), jnp.bfloat16)
+    for j in range(SLICES):
+        ccat = ccat.at[j * qp:j * qp + q, :].set(sc_sl[j].T)
+    nr = _NR_MAX
+    while nr > 256 and nr * (16 * k + 16 * qp) > 10 * 2**20:
+        nr //= 2
+    # chunk lanes so no single kernel's (hi, lo) output exceeds ~12 MB of
+    # scoped VMEM (this runtime's XLA stages custom-call results there)
+    ncols = max((12 * 2**20 // (2 * 4 * qp)) // nr * nr, nr)
+    outs = []
+    for c0 in range(0, n, ncols):
+        ohi, olo = _os_expand_kernel_call(
+            ahi_t[:, c0:c0 + ncols], alo_t[:, c0:c0 + ncols], ccat, nr, q,
+            interpret)
+        w = min(ncols, n - c0)
+        outs.append((ohi[:q, :w], olo[:q, :w]))
+    hi = jnp.concatenate([o[0] for o in outs], axis=1)
+    lo = jnp.concatenate([o[1] for o in outs], axis=1)
+    # transpose the f32 planes BEFORE the f64 combine (an f64 transpose on
+    # emulated-f64 runtimes moves 4x the bytes)
+    out = hi.T.astype(jnp.float64) + lo.T.astype(jnp.float64)
+    return out * sa_r.astype(jnp.float64)[:, None] * sc.astype(jnp.float64)[None, :]

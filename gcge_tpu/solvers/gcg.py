@@ -196,17 +196,26 @@ def _matvec(op, x):
     return x if op is None else op.matvec(x)
 
 
-def _resolve_rr_gemm(precision: str, dtype) -> str:
-    """Resolve GCGParams.rr_gemm_precision 'auto' (see the field comment)."""
+def _resolve_rr_gemm(precision: str, dtype, mesh=None) -> str:
+    """Resolve GCGParams.rr_gemm_precision 'auto' (see the field comment).
+
+    Single-device TPU f64 picks the fused Pallas kernels
+    ('osgemm_pallas'); under a sharded mesh the XLA sliced formulation
+    ('osgemm') stays — it partitions transparently under GSPMD, while a
+    pallas_call would force replication."""
     if precision != "auto":
         return precision
     if jax.default_backend() == "tpu" and jnp.dtype(dtype) == jnp.float64:
-        return "osgemm"
+        return "osgemm" if mesh is not None else "osgemm_pallas"
     return "f64"
 
 
 def _big_gram(q, x, prec: str):
     """(n,p)^T(n,q) Gram of tall multivectors at full accuracy."""
+    if prec == "osgemm_pallas":
+        from gcge_tpu.ops.osgemm_pallas import os_gram_pallas
+
+        return os_gram_pallas(q, x)
     if prec == "osgemm":
         from gcge_tpu.ops.osgemm import os_gram
 
@@ -220,6 +229,10 @@ def _big_expand(v, c, prec: str):
     'osgemm_expand' routes only the expansions through the sliced GEMM and
     keeps the RR Gram on the chunked-compensated path (~3x more accurate) —
     the A/B hybrid knob."""
+    if prec == "osgemm_pallas":
+        from gcge_tpu.ops.osgemm_pallas import os_expand_pallas
+
+        return os_expand_pallas(v, c)
     if prec in ("osgemm", "osgemm_expand"):
         from gcge_tpu.ops.osgemm import os_expand
 
@@ -235,20 +248,25 @@ def _eigh(h, backend: str):
     return eigh_impl(h, backend)
 
 
-@partial(jax.jit, static_argnames=("size_x", "bs", "rr_backend"))
-def _initial_rr(a_op, v, size_x: int, bs: int, rr_backend: str = "auto"):
+@partial(jax.jit, static_argnames=("size_x", "bs", "rr_backend", "gemm_prec"))
+def _initial_rr(a_op, v, size_x: int, bs: int, rr_backend: str = "auto",
+                gemm_prec: str = "f64"):
     """First Rayleigh-Ritz on V = [X]: H = X^T A X, eigh, Ritz vectors.
 
     Reference: first ``ComputeRayleighRitz`` call with sizeX == sizeV
     (``ops_eig_sol_gcg.c:992-1011``)."""
     m = size_x + 2 * bs
     x = v[:, :size_x]
-    h_xx = block_inner(x, a_op.matvec(x), "S")
+    if gemm_prec == "f64":
+        h_xx = block_inner(x, a_op.matvec(x), "S")
+    else:
+        h_xx = _big_gram(x, a_op.matvec(x), gemm_prec)
+        h_xx = 0.5 * (h_xx + h_xx.T)
     w, c = _eigh(h_xx, rr_backend)
     ss_eval = jnp.concatenate([w, jnp.full((m - size_x,), w[-1], w.dtype)])
     ss_evec = jnp.eye(m, dtype=v.dtype).at[:size_x, :size_x].set(c)
     h = jnp.zeros((m, m), v.dtype).at[:size_x, :size_x].set(h_xx)
-    ritz = x @ c
+    ritz = _big_expand(x, c, gemm_prec)
     v = v.at[:, :size_x].set(ritz)
     return ss_eval, ss_evec, h, ritz, v
 
@@ -700,21 +718,23 @@ def _check_convergence_host(
 
 
 @partial(jax.jit,
-         static_argnames=("size_x", "n", "zero_tol", "passes", "orth_method"))
+         static_argnames=("size_x", "n", "zero_tol", "passes", "orth_method",
+                          "orth_prec"))
 def _init_fill_orth(b_op, x, size_x: int, n: int, zero_tol: float,
-                    passes: int, orth_method: str):
+                    passes: int, orth_method: str, orth_prec: str = "f64"):
     """One fused init trial: random-fill the tail + B-orthonormalize.
 
     ONE device dispatch — on remote TPU endpoints the eager version paid a
     network round trip per jnp op (~80 ops => measured 78s of a 226s
     nev=200 solve before this was jitted)."""
     bmv = None if b_op is None else b_op.matvec
+    prec = orth_prec if orth_prec.startswith("osgemm") else "f64"
     return orth_within(x, bmv, zero_tol=zero_tol, passes=passes,
-                       method=orth_method)
+                       method=orth_method, precision=prec)
 
 
 def _init_x(a_op, b_op, x0, size_x, n, dtype, key, zero_tol, passes,
-            orth_method: str = "evp"):
+            orth_method: str = "evp", orth_prec: str = "f64"):
     """InitializeX (``ops_eig_sol_gcg.c:101-158``): keep user vectors, fill
     with random, B-orthonormalize; re-randomize dependent columns until the
     block has full rank.  The per-trial math is one jitted dispatch; only
@@ -728,7 +748,7 @@ def _init_x(a_op, b_op, x0, size_x, n, dtype, key, zero_tol, passes,
         x = jax.random.uniform(key, (n, size_x), dtype=dtype, minval=-1, maxval=1)
     for trial in range(5):
         x, rank = _init_fill_orth(b_op, x, size_x, n, zero_tol, passes,
-                                  orth_method)
+                                  orth_method, orth_prec)
         r = int(rank)
         if r == size_x:
             return x
@@ -766,7 +786,12 @@ def gcg_solve(
     cg = BlockPCGParams(
         max_iter=p.cg_max_iter, rate=p.cg_rate, tol=p.cg_tol, tol_type=p.cg_tol_type
     )
-    gemm_prec = _resolve_rr_gemm(p.rr_gemm_precision, dtype)
+    gemm_prec = _resolve_rr_gemm(p.rr_gemm_precision, dtype, mesh)
+    orth_prec = p.orth_proj_precision
+    if orth_prec == "auto" and jax.default_backend() == "tpu" \
+            and jnp.dtype(dtype) == jnp.float64:
+        # same single-device-vs-sharded split as _resolve_rr_gemm
+        orth_prec = "osgemm" if mesh is not None else "osgemm_pallas"
 
     timers = {k: 0.0 for k in
               ("initX", "checkconv", "compP", "compX", "compW", "linsol",
@@ -803,11 +828,11 @@ def gcg_solve(
     t_start = time.perf_counter()
     x0 = _shard(x0) if x0 is not None else None
     x = timed("initX", _init_x, a_op, b_op, x0, size_x, n, dtype, key,
-              p.orth_zero_tol, p.orth_passes, p.orth_method)
+              p.orth_zero_tol, p.orth_passes, p.orth_method, orth_prec)
     m = size_x + 2 * bs
     v = _shard(jnp.zeros((n, m), dtype)).at[:, :size_x].set(_shard(x))
     ss_eval, ss_evec, h, ritz, v = timed("compRR", _initial_rr, a_op, v,
-                                          size_x, bs, p.rr_backend)
+                                          size_x, bs, p.rr_backend, gemm_prec)
 
     nev_target = nev0 if size_x >= p.nev_max else min(2 * bs, nev0)
     nev_conv = 0
@@ -837,7 +862,7 @@ def gcg_solve(
                 p.linear_solver, p.fuse, p.tol_abs, p.tol_rel, p.gap_min,
                 p.cg_auto_shift, p.cg_shift, p.rr_backend, p.cg_mixed,
                 p.cg_refine, p.linear_precond, p.check_max, p.orth_method,
-                p.orth_proj_precision, gemm_prec,
+                orth_prec, gemm_prec,
             )
             nev_conv = int(nev_conv_d)
             num_iter = int(num_iter_d)
@@ -983,7 +1008,7 @@ def gcg_solve(
             jnp.asarray(sigma, dtype), size_x, bs, cg,
             p.orth_zero_tol, p.orth_passes, p.cg_order, p.linear_solver,
             p.cg_mixed, p.cg_refine, p.linear_precond, p.orth_method,
-            p.orth_proj_precision,
+            orth_prec,
         )
         jax.block_until_ready(v)
         timers["compW"] += time.perf_counter() - t0

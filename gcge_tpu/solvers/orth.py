@@ -76,14 +76,20 @@ def orth_against(x, q, b_matvec=None, passes: int = 2,
         if mixed:
             coef32 = q32.T @ bx.astype(jnp.float32)
             x = x - (q32 @ coef32).astype(x.dtype)
-        elif precision == "osgemm":
+        elif precision.startswith("osgemm"):
             # exact-product sliced MXU GEMMs (ops.osgemm): ~2^-46-relative
             # accuracy — the same class as the emulated-f64 matmul — at
             # f32-kernel speeds.  Both floors that kill naive f32 (see
             # docstring) are respected: coefficients AND the update carry
             # f64-equivalent accuracy, so this path is valid for EVERY pass
             # including the bulk-removal first pass and the final pass.
-            from gcge_tpu.ops.osgemm import os_expand, os_gram
+            if precision == "osgemm_pallas":
+                from gcge_tpu.ops.osgemm_pallas import (os_expand_pallas as
+                                                        os_expand,
+                                                        os_gram_pallas as
+                                                        os_gram)
+            else:
+                from gcge_tpu.ops.osgemm import os_expand, os_gram
             coef = os_gram(q, bx)
             x = x - os_expand(q, coef)
         else:
@@ -93,7 +99,13 @@ def orth_against(x, q, b_matvec=None, passes: int = 2,
 
 
 def _gram_p(a, b, precision: str):
-    """Full-accuracy tall Gram ``a^T b``, osgemm-routable."""
+    """Full-accuracy tall Gram ``a^T b``, osgemm-routable ('osgemm' = the
+    XLA sliced formulation, works under GSPMD sharding; 'osgemm_pallas' =
+    the fused single-device kernel, ops.osgemm_pallas)."""
+    if precision == "osgemm_pallas":
+        from gcge_tpu.ops.osgemm_pallas import os_gram_pallas
+
+        return os_gram_pallas(a, b)
     if precision == "osgemm":
         from gcge_tpu.ops.osgemm import os_gram
 
@@ -102,7 +114,12 @@ def _gram_p(a, b, precision: str):
 
 
 def _expand_p(a, c, precision: str):
-    """Full-accuracy recombination ``a @ c``, osgemm-routable."""
+    """Full-accuracy recombination ``a @ c``, osgemm-routable (see
+    :func:`_gram_p`)."""
+    if precision == "osgemm_pallas":
+        from gcge_tpu.ops.osgemm_pallas import os_expand_pallas
+
+        return os_expand_pallas(a, c)
     if precision == "osgemm":
         from gcge_tpu.ops.osgemm import os_expand
 
@@ -279,7 +296,7 @@ def orth_block_against(
     rank = jnp.int32(x.shape[1])
     # 'osgemm' carries f64-equivalent (~2^-46-relative) accuracy, so unlike
     # 'mixed' it is valid for the bulk-removal first pass and the final pass
-    full = prec if prec == "osgemm" else "f64"
+    full = prec if prec.startswith("osgemm") else "f64"
     for i in range(passes):
         # the FIRST projection removes the bulk — its coefficients can be
         # ~1e8x the informative remainder (GCG's auto-shifted W), so it must

@@ -130,3 +130,55 @@ def test_production_paths_match_reference(rng):
     g = e1.T @ e1
     assert np.abs(g - np.eye(40)).max() < 1e-12
     assert np.abs(e1 - v @ cmat).max() < 1e-14
+
+
+def test_os_gram_pallas_matches_oracle(rng):
+    """Fused Pallas kernel (interpret mode off-TPU) vs the XLA oracle and
+    numpy f64, across p-blocking and row-padding edges."""
+    from gcge_tpu.ops.osgemm_pallas import os_gram_pallas
+
+    for (n, p, q) in [(1500, 120, 10), (1030, 200, 40), (999, 7, 3)]:
+        a = rng.standard_normal((n, p)) * np.exp(rng.uniform(-8, 8, (1, p)))
+        b = rng.standard_normal((n, q)) * np.exp(rng.uniform(-8, 8, (1, q)))
+        ref = a.T @ b
+        got = np.asarray(os_gram_pallas(jnp.asarray(a), jnp.asarray(b),
+                                        interpret=True))
+        scale = (np.linalg.norm(a, axis=0)[:, None]
+                 * np.linalg.norm(b, axis=0)[None, :]) + 1e-300
+        assert np.max(np.abs(got - ref) / scale) < 5e-14
+
+
+def test_os_expand_pallas_matches_oracle(rng):
+    from gcge_tpu.ops.osgemm_pallas import os_expand_pallas
+
+    for (n, k, q) in [(1500, 120, 100), (1030, 512, 17), (999, 9, 3)]:
+        a = rng.standard_normal((n, k)) * np.exp(rng.uniform(-6, 6, (n, 1)))
+        c = rng.standard_normal((k, q)) * np.exp(rng.uniform(-6, 6, (1, q)))
+        ref = a @ c
+        got = np.asarray(os_expand_pallas(jnp.asarray(a), jnp.asarray(c),
+                                          interpret=True))
+        scale = (np.abs(a).max(1)[:, None] * np.abs(c).max(0)[None, :]) * k \
+            + 1e-300
+        assert np.max(np.abs(got - ref) / scale) < 5e-14
+
+
+def test_os_pallas_zero_and_tiny_columns(rng):
+    """Zero columns (scale clip) and denormal-ish magnitudes survive."""
+    from gcge_tpu.ops.osgemm_pallas import os_expand_pallas, os_gram_pallas
+
+    n = 700
+    a = rng.standard_normal((n, 6))
+    a[:, 2] = 0.0
+    a[:, 4] *= 1e-30
+    b = rng.standard_normal((n, 4))
+    b[:, 1] = 0.0
+    ref = a.T @ b
+    got = np.asarray(os_gram_pallas(jnp.asarray(a), jnp.asarray(b),
+                                    interpret=True))
+    assert np.max(np.abs(got - ref)) < 1e-12 * np.abs(ref).max()
+    c = rng.standard_normal((6, 5))
+    c[:, 3] = 0.0
+    ref2 = a @ c
+    got2 = np.asarray(os_expand_pallas(jnp.asarray(a), jnp.asarray(c),
+                                       interpret=True))
+    assert np.max(np.abs(got2 - ref2)) < 1e-12 * np.abs(ref2).max()
