@@ -227,30 +227,45 @@ def _os_gram_pallas_jit(a, b, interpret: bool):
     q = b.shape[1]
     sa, ahi_t, alo_t = _split_scaled_t(a, 1)   # per-column scales
     sb, bhi_t, blo_t = _split_scaled_t(b, 1)
-    # block p so slab triple + slice stacks fit VMEM (~16 MB scoped)
+    # block p inside the kernel grid; chunk WIDE q outside it (wide-q slab
+    # triples blow the 16 MB scoped-VMEM budget — measured OOM at the
+    # square 400x400 InitializeX Gram of the nev=200 run).  Each q-chunk
+    # re-reads the a planes; q is wide only in square within-block Grams,
+    # where that doubles traffic at worst.
     pb = _round_up(p, 16) if p <= 128 else 128
+    qb = _round_up(q, 16) if q <= 64 else 64
     nr = _NR_MAX
-    qp = _round_up(q, 16)
     while nr > 256 and (
-            nr * (SLICES * (pb + qp) * 2 + 12 * (pb + qp))
-            + 3 * 4 * SLICES * SLICES * pb * qp) > 10 * 2**20:
+            nr * (SLICES * (pb + qb) * 2 + 12 * (pb + qb))
+            + 3 * 4 * SLICES * SLICES * pb * qb) > 9 * 2**20:
         nr //= 2
-    hi, lo, lo2 = _os_gram_kernel_call(ahi_t, alo_t, bhi_t, blo_t, nr, pb,
-                                       interpret)
     pblocks = -(-p // pb)
     sp = SLICES * pb
-    # (P_blocks*S*pb, S*qp) -> pair blocks; the in-coverage pair sum runs in
-    # f64 (28 adds of ~2^-46-accurate terms — rounding far below the floor)
-    def blocks(x):
-        x = x.reshape(pblocks, SLICES, pb, SLICES, qp)
-        return jnp.moveaxis(x, 1, 0).reshape(SLICES, pblocks * pb, SLICES, qp)
-    hi_b, lo_b, lo2_b = blocks(hi), blocks(lo), blocks(lo2)
-    out = jnp.zeros((pblocks * pb, qp), jnp.float64)
-    for i, j in _PAIRS:
-        out = out + (hi_b[i, :, j].astype(jnp.float64)
-                     + lo_b[i, :, j].astype(jnp.float64)
-                     + lo2_b[i, :, j].astype(jnp.float64))
-    out = out[:p, :q]
+
+    def gram_cols(bhi_c, blo_c, qp):
+        hi, lo, lo2 = _os_gram_kernel_call(ahi_t, alo_t, bhi_c, blo_c, nr,
+                                           pb, interpret)
+        # (P_blocks*S*pb, S*qp) -> pair blocks; the in-coverage pair sum
+        # runs in f64 (28 adds of ~2^-46-accurate terms)
+        def blocks(x):
+            x = x.reshape(pblocks, SLICES, pb, SLICES, qp)
+            return jnp.moveaxis(x, 1, 0).reshape(SLICES, pblocks * pb,
+                                                 SLICES, qp)
+        hi_b, lo_b, lo2_b = blocks(hi), blocks(lo), blocks(lo2)
+        out = jnp.zeros((pblocks * pb, qp), jnp.float64)
+        for i, j in _PAIRS:
+            out = out + (hi_b[i, :, j].astype(jnp.float64)
+                         + lo_b[i, :, j].astype(jnp.float64)
+                         + lo2_b[i, :, j].astype(jnp.float64))
+        return out[:p]
+
+    if q <= qb:
+        out = gram_cols(bhi_t, blo_t, qb)[:, :q]
+    else:
+        parts = [gram_cols(bhi_t[c0:c0 + qb], blo_t[c0:c0 + qb],
+                           min(qb, _round_up(q - c0, 16)))[:, :min(qb, q - c0)]
+                 for c0 in range(0, q, qb)]
+        out = jnp.concatenate(parts, axis=1)
     return out * sa.astype(jnp.float64)[:, None] * sb.astype(jnp.float64)[None, :]
 
 
@@ -344,32 +359,53 @@ def _os_expand_pallas_jit(a, c, interpret: bool):
     n, k = a.shape
     q = c.shape[1]
     assert k <= _NR_MAX, "contraction too long for os_expand"
-    qp = _round_up(q, 16)
     # per-ROW scales of a (the non-contracted index)
     sa_r, ahi_t, alo_t = _split_scaled_t(a, 0)
-    # c is small: slice in XLA (osgemm.slice_planes), stack c^T planes on
-    # sublanes at qp-aligned offsets
+    # c is small: slice in XLA (osgemm.slice_planes)
     from gcge_tpu.ops.osgemm import slice_planes
 
     sc_sl, sc = slice_planes(c)                       # (S, k, q) bf16
-    ccat = jnp.zeros((SLICES * qp, k), jnp.bfloat16)
-    for j in range(SLICES):
-        ccat = ccat.at[j * qp:j * qp + q, :].set(sc_sl[j].T)
-    nr = _NR_MAX
-    while nr > 256 and nr * (16 * k + 16 * qp) > 10 * 2**20:
-        nr //= 2
-    # chunk lanes so no single kernel's (hi, lo) output exceeds ~12 MB of
-    # scoped VMEM (this runtime's XLA stages custom-call results there)
-    ncols = max((12 * 2**20 // (2 * 4 * qp)) // nr * nr, nr)
-    outs = []
-    for c0 in range(0, n, ncols):
-        ohi, olo = _os_expand_kernel_call(
-            ahi_t[:, c0:c0 + ncols], alo_t[:, c0:c0 + ncols], ccat, nr, q,
-            interpret)
-        w = min(ncols, n - c0)
-        outs.append((ohi[:q, :w], olo[:q, :w]))
-    hi = jnp.concatenate([o[0] for o in outs], axis=1)
-    lo = jnp.concatenate([o[1] for o in outs], axis=1)
+
+    def expand_cols(j0, qc):
+        """One q-chunk: stack c^T planes on qp-aligned sublane bands, run
+        the lane-blocked kernel, return the (qc, n) f32 (hi, lo) pair."""
+        qp = _round_up(qc, 16)
+        ccat = jnp.zeros((SLICES * qp, k), jnp.bfloat16)
+        for j in range(SLICES):
+            ccat = ccat.at[j * qp:j * qp + qc, :].set(
+                sc_sl[j, :, j0:j0 + qc].T)
+        nr = _NR_MAX
+        # per-step VMEM: in blocks + peel residuals (f32, ~16 k) + the
+        # (S*qp, nr) dot result + accumulators
+        while nr > 256 and nr * (18 * k + 4 * SLICES * qp + 16 * qp) \
+                + 2 * SLICES * qp * k > 9 * 2**20:
+            nr //= 2
+        # chunk lanes so no single kernel's (hi, lo) output exceeds ~12 MB
+        # of scoped VMEM (this runtime's XLA stages custom-call results
+        # there)
+        ncols = max((12 * 2**20 // (2 * 4 * qp)) // nr * nr, nr)
+        outs = []
+        for c0 in range(0, n, ncols):
+            ohi, olo = _os_expand_kernel_call(
+                ahi_t[:, c0:c0 + ncols], alo_t[:, c0:c0 + ncols], ccat, nr,
+                qc, interpret)
+            w = min(ncols, n - c0)
+            outs.append((ohi[:qc, :w], olo[:qc, :w]))
+        if len(outs) == 1:
+            return outs[0]
+        return (jnp.concatenate([o[0] for o in outs], axis=1),
+                jnp.concatenate([o[1] for o in outs], axis=1))
+
+    # chunk WIDE q: the (S*qp, nr) in-kernel dot result scales with qp and
+    # blows scoped VMEM past qp ~ 150 (measured OOM at the nev=200 Ritz
+    # recombination, q = 400)
+    qchunk = 128
+    parts = [expand_cols(j0, min(qchunk, q - j0))
+             for j0 in range(0, q, qchunk)]
+    hi = jnp.concatenate([p[0] for p in parts], axis=0) if len(parts) > 1 \
+        else parts[0][0]
+    lo = jnp.concatenate([p[1] for p in parts], axis=0) if len(parts) > 1 \
+        else parts[0][1]
     # transpose the f32 planes BEFORE the f64 combine (an f64 transpose on
     # emulated-f64 runtimes moves 4x the bytes)
     out = hi.T.astype(jnp.float64) + lo.T.astype(jnp.float64)

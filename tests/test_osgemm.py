@@ -182,3 +182,29 @@ def test_os_pallas_zero_and_tiny_columns(rng):
     got2 = np.asarray(os_expand_pallas(jnp.asarray(a), jnp.asarray(c),
                                        interpret=True))
     assert np.max(np.abs(got2 - ref2)) < 1e-12 * np.abs(ref2).max()
+
+
+def test_os_pallas_wide_blocks(rng):
+    """Wide shapes that exceed a single kernel block: the square
+    InitializeX Gram (p = q = 400) and the wide Ritz recombination
+    (q = 400) — the exact configs that blew scoped VMEM at nev=200."""
+    from gcge_tpu.ops.osgemm_pallas import os_expand_pallas, os_gram_pallas
+
+    n = 900
+    a = rng.standard_normal((n, 400))
+    b = rng.standard_normal((n, 400))
+    ref = a.T @ b
+    got = np.asarray(os_gram_pallas(jnp.asarray(a), jnp.asarray(b),
+                                    interpret=True))
+    scale = (np.linalg.norm(a, axis=0)[:, None]
+             * np.linalg.norm(b, axis=0)[None, :]) + 1e-300
+    assert np.max(np.abs(got - ref) / scale) < 5e-14
+    k = 480
+    a2 = rng.standard_normal((n, k))
+    c2 = rng.standard_normal((k, 400))
+    ref2 = a2 @ c2
+    got2 = np.asarray(os_expand_pallas(jnp.asarray(a2), jnp.asarray(c2),
+                                       interpret=True))
+    scale2 = (np.abs(a2).max(1)[:, None] * np.abs(c2).max(0)[None, :]) * k \
+        + 1e-300
+    assert np.max(np.abs(got2 - ref2) / scale2) < 5e-14
