@@ -134,9 +134,18 @@ def _peel_stack(hi, lo, cat_ref, height: int):
 @functools.partial(jax.jit, static_argnames=("nr", "pb", "interpret"))
 def _os_gram_kernel_call(ahi_t, alo_t, bhi_t, blo_t, nr: int, pb: int,
                          interpret: bool):
-    """Slice-product slabs of ``a^T b`` from transposed (hi, lo) planes
-    ``(p, n)`` / ``(q, n)``: returns the doubly-compensated (hi, lo, lo2)
-    f32 triple of shape (P_blocks * S*pb, S*qp)."""
+    """``a^T b`` from transposed (hi, lo) planes ``(p, n)`` / ``(q, n)``:
+    returns a doubly-compensated (hi, lo, lo2) f32 triple of shape
+    (p_pad, qp).
+
+    The 28 in-coverage slice-pair blocks are combined INSIDE the kernel,
+    per n-chunk, with a two-sum chain: each pair dot is an EXACT f32
+    value (the NR_MAX bound), so the only rounding is the compensated
+    combine itself (~2^-48 relative per chunk).  An earlier version
+    accumulated the full (S*pb, S*qp) slab triple in scratch and returned
+    it — that frame (3 slab scratches + slab-sized staged results) scales
+    as S^2*pb*qp and blew the 16 MB scoped-VMEM stack at the nev=200
+    W-orth Gram (p=512, q=48: 17.58 M measured)."""
     p, n = ahi_t.shape
     q = bhi_t.shape[0]
     qp = _round_up(q, 16)
@@ -154,15 +163,14 @@ def _os_gram_kernel_call(ahi_t, alo_t, bhi_t, blo_t, nr: int, pb: int,
     sp, sq = SLICES * pb, SLICES * qp
 
     def kernel(ahi_ref, alo_ref, bhi_ref, blo_ref,
-               ohi_ref, olo_ref, olo2_ref,
-               acat_ref, bcat_ref, hi_ref, lo_ref, lo2_ref):
+               ohi_ref, olo_ref, olo2_ref, acat_ref, bcat_ref):
         c = pl.program_id(1)
 
         @pl.when(c == 0)
         def _init():
-            hi_ref[:] = jnp.zeros((sp, sq), jnp.float32)
-            lo_ref[:] = jnp.zeros((sp, sq), jnp.float32)
-            lo2_ref[:] = jnp.zeros((sp, sq), jnp.float32)
+            ohi_ref[:] = jnp.zeros((pb, qp), jnp.float32)
+            olo_ref[:] = jnp.zeros((pb, qp), jnp.float32)
+            olo2_ref[:] = jnp.zeros((pb, qp), jnp.float32)
 
         _peel_stack(ahi_ref[:], alo_ref[:], acat_ref, pb)
         _peel_stack(bhi_ref[:], blo_ref[:], bcat_ref, qp)
@@ -171,25 +179,30 @@ def _os_gram_kernel_call(ahi_t, alo_t, bhi_t, blo_t, nr: int, pb: int,
         slab = jax.lax.dot_general(
             acat_ref[:], bcat_ref[:], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        hi, err = _two_sum(hi_ref[:], slab)
-        lo, err2 = _two_sum(lo_ref[:], err)
-        hi_ref[:] = hi
-        lo_ref[:] = lo
-        lo2_ref[:] = lo2_ref[:] + err2
-
-        @pl.when(c == grid_c - 1)
-        def _flush():
-            ohi_ref[:] = hi_ref[:]
-            olo_ref[:] = lo_ref[:]
-            olo2_ref[:] = lo2_ref[:]
+        # per-chunk pair combine: exact terms, compensated sum
+        s_hi = jnp.zeros((pb, qp), jnp.float32)
+        s_lo = jnp.zeros((pb, qp), jnp.float32)
+        for i, j in _PAIRS:
+            s_hi, e = _two_sum(s_hi,
+                               slab[i * pb:(i + 1) * pb,
+                                    j * qp:(j + 1) * qp])
+            s_lo = s_lo + e
+        # merge into the cross-chunk accumulator triple (held in the
+        # output refs — their block index is constant in c, so they stay
+        # VMEM-resident across the whole contraction)
+        hi, e1 = _two_sum(ohi_ref[:], s_hi)
+        lo, e2 = _two_sum(olo_ref[:], e1 + s_lo)
+        ohi_ref[:] = hi
+        olo_ref[:] = lo
+        olo2_ref[:] = olo2_ref[:] + e2
 
     a_spec = pl.BlockSpec((pb, nr), lambda pi, c: (pi, c),
                           memory_space=pltpu.VMEM)
     b_spec = pl.BlockSpec((qp, nr), lambda pi, c: (pi * 0, c),
                           memory_space=pltpu.VMEM)
-    o_spec = pl.BlockSpec((sp, sq), lambda pi, c: (pi, c * 0),
+    o_spec = pl.BlockSpec((pb, qp), lambda pi, c: (pi, c * 0),
                           memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((pblocks * sp, sq), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((p_pad, qp), jnp.float32)
     return pl.pallas_call(
         kernel,
         out_shape=(out_shape, out_shape, out_shape),
@@ -197,10 +210,7 @@ def _os_gram_kernel_call(ahi_t, alo_t, bhi_t, blo_t, nr: int, pb: int,
         in_specs=[a_spec, a_spec, b_spec, b_spec],
         out_specs=(o_spec, o_spec, o_spec),
         scratch_shapes=[pltpu.VMEM((sp, nr), jnp.bfloat16),
-                        pltpu.VMEM((sq, nr), jnp.bfloat16),
-                        pltpu.VMEM((sp, sq), jnp.float32),
-                        pltpu.VMEM((sp, sq), jnp.float32),
-                        pltpu.VMEM((sp, sq), jnp.float32)],
+                        pltpu.VMEM((sq, nr), jnp.bfloat16)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * SLICES * SLICES * n_pad * p_pad * qp,
@@ -227,43 +237,42 @@ def _os_gram_pallas_jit(a, b, interpret: bool):
     q = b.shape[1]
     sa, ahi_t, alo_t = _split_scaled_t(a, 1)   # per-column scales
     sb, bhi_t, blo_t = _split_scaled_t(b, 1)
-    # block p inside the kernel grid; chunk WIDE q outside it (wide-q slab
-    # triples blow the 16 MB scoped-VMEM budget — measured OOM at the
-    # square 400x400 InitializeX Gram of the nev=200 run).  Each q-chunk
+    # block p inside the kernel grid; chunk WIDE q outside it (each q-chunk
     # re-reads the a planes; q is wide only in square within-block Grams,
-    # where that doubles traffic at worst.
+    # where that doubles traffic at worst).  Explicit per-grid-step VMEM
+    # model — the scoped-VMEM stack hard-fails at 16 MB and the failure
+    # only appears at compile time on hardware, so stay conservative:
+    #   bf16 cat scratch   2*S*(pb+qb)*nr
+    #   f32 input blocks   16*(pb+qb)*nr   (2 operands, double-buffered)
+    #   peel temporaries  ~12*(pb+qb)*nr
+    #   slab + dot temp    2*4*S^2*pb*qb
     pb = _round_up(p, 16) if p <= 128 else 128
     qb = _round_up(q, 16) if q <= 64 else 64
-    nr = _NR_MAX
-    while nr > 256 and (
-            nr * (SLICES * (pb + qb) * 2 + 12 * (pb + qb))
-            + 3 * 4 * SLICES * SLICES * pb * qb) > 9 * 2**20:
-        nr //= 2
-    pblocks = -(-p // pb)
-    sp = SLICES * pb
 
-    def gram_cols(bhi_c, blo_c, qp):
+    def vmem(pb_, qb_, nr_):
+        return ((2 * SLICES + 28) * (pb_ + qb_) * nr_
+                + 8 * SLICES * SLICES * pb_ * qb_)
+
+    nr = _NR_MAX
+    while nr > 256 and vmem(pb, qb, nr) > 11 * 2**20:
+        nr //= 2
+    while vmem(pb, qb, nr) > 11 * 2**20 and pb > 32:
+        pb //= 2
+
+    def gram_cols(bhi_c, blo_c):
         hi, lo, lo2 = _os_gram_kernel_call(ahi_t, alo_t, bhi_c, blo_c, nr,
                                            pb, interpret)
-        # (P_blocks*S*pb, S*qp) -> pair blocks; the in-coverage pair sum
-        # runs in f64 (28 adds of ~2^-46-accurate terms)
-        def blocks(x):
-            x = x.reshape(pblocks, SLICES, pb, SLICES, qp)
-            return jnp.moveaxis(x, 1, 0).reshape(SLICES, pblocks * pb,
-                                                 SLICES, qp)
-        hi_b, lo_b, lo2_b = blocks(hi), blocks(lo), blocks(lo2)
-        out = jnp.zeros((pblocks * pb, qp), jnp.float64)
-        for i, j in _PAIRS:
-            out = out + (hi_b[i, :, j].astype(jnp.float64)
-                         + lo_b[i, :, j].astype(jnp.float64)
-                         + lo2_b[i, :, j].astype(jnp.float64))
+        # final combine of the compensated triple in f64 (3 adds of
+        # ~2^-48-accurate terms — rounding far below the floor)
+        out = (hi.astype(jnp.float64) + lo.astype(jnp.float64)
+               + lo2.astype(jnp.float64))
         return out[:p]
 
     if q <= qb:
-        out = gram_cols(bhi_t, blo_t, qb)[:, :q]
+        out = gram_cols(bhi_t, blo_t)[:, :q]
     else:
-        parts = [gram_cols(bhi_t[c0:c0 + qb], blo_t[c0:c0 + qb],
-                           min(qb, _round_up(q - c0, 16)))[:, :min(qb, q - c0)]
+        parts = [gram_cols(bhi_t[c0:c0 + qb], blo_t[c0:c0 + qb])
+                 [:, :min(qb, q - c0)]
                  for c0 in range(0, q, qb)]
         out = jnp.concatenate(parts, axis=1)
     return out * sa.astype(jnp.float64)[:, None] * sb.astype(jnp.float64)[None, :]
@@ -375,15 +384,17 @@ def _os_expand_pallas_jit(a, c, interpret: bool):
             ccat = ccat.at[j * qp:j * qp + qc, :].set(
                 sc_sl[j, :, j0:j0 + qc].T)
         nr = _NR_MAX
-        # per-step VMEM: in blocks + peel residuals (f32, ~16 k) + the
-        # (S*qp, nr) dot result + accumulators
-        while nr > 256 and nr * (18 * k + 4 * SLICES * qp + 16 * qp) \
-                + 2 * SLICES * qp * k > 9 * 2**20:
+        # per-step VMEM, conservative (the scoped stack hard-fails at
+        # 16 MB, compile-time-only on hardware): double-buffered f32 in
+        # blocks + peel temporaries ~28*k, the (S*qp, nr) dot result +
+        # double-buffered outputs + accumulators ~56*qp, + resident ccat
+        while nr > 256 and nr * (28 * k + 56 * qp) \
+                + 2 * SLICES * qp * k > 8 * 2**20:
             nr //= 2
-        # chunk lanes so no single kernel's (hi, lo) output exceeds ~12 MB
-        # of scoped VMEM (this runtime's XLA stages custom-call results
-        # there)
-        ncols = max((12 * 2**20 // (2 * 4 * qp)) // nr * nr, nr)
+        # chunk lanes so no single kernel's (hi, lo) result exceeds ~6 MB
+        # (this runtime's XLA stages custom-call results in scoped VMEM
+        # when it can — the stage and the kernel frame share the budget)
+        ncols = max((6 * 2**20 // (2 * 4 * qp)) // nr * nr, nr)
         outs = []
         for c0 in range(0, n, ncols):
             ohi, olo = _os_expand_kernel_call(

@@ -144,6 +144,11 @@ class GCGParams:
     # utils.checkpoint.load_checkpoint and passing evec as x0.
     checkpoint_path: Any = None
     checkpoint_every: int = 0
+    # capture a jax.profiler trace of the whole solve into this directory
+    # (viewable in TensorBoard/Perfetto); phases are labeled with
+    # TraceAnnotations matching the timer-table columns.  The device-level
+    # complement of the reference's wall-clock phase table (SURVEY.md §5).
+    profile_dir: Any = None
     # Projected-eigenproblem backend (gcge_tpu.ops.eighs.eigh): 'auto' picks
     # 'jacobi' (device eigh + Jacobi polish — required for f64 accuracy on
     # TPU, where plain eigh has f32-level eigen-residuals) on TPU and plain
@@ -777,6 +782,16 @@ def gcg_solve(
     products all-reduce over the mesh, the projected eigenproblem is
     replicated, matching the reference's MPI layout (SURVEY.md §2).
     """
+    if params.profile_dir:
+        jax.profiler.start_trace(str(params.profile_dir))
+        try:
+            return _gcg_solve_impl(a_op, b_op, params, x0, key, mesh)
+        finally:
+            jax.profiler.stop_trace()
+    return _gcg_solve_impl(a_op, b_op, params, x0, key, mesh)
+
+
+def _gcg_solve_impl(a_op, b_op, params, x0, key, mesh) -> GCGResult:
     n = a_op.shape[0]
     p = params.resolved(n)
     bs, nev0 = p.block_size, p.nev
@@ -799,8 +814,9 @@ def gcg_solve(
 
     def timed(name, fn, *args, **kw):
         t0 = time.perf_counter()
-        out = fn(*args, **kw)
-        jax.block_until_ready(out)
+        with jax.profiler.TraceAnnotation(f"gcg:{name}"):
+            out = fn(*args, **kw)
+            jax.block_until_ready(out)
         timers[name] += time.perf_counter() - t0
         return out
 

@@ -40,6 +40,7 @@ _FLAG_MAP = {
     "-gcge_print_conv": ("verbose", int),
     "-gcge_compW_cg_order": ("cg_order", int),
     "-gcge_check_conv_max_num": ("check_max", int),
+    "-profile_dir": ("profile_dir", str),
 }
 
 # accepted for compatibility; recorded in `extras`, no TPU-side effect
