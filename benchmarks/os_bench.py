@@ -1,4 +1,5 @@
 """Microbench: osgemm projection pair vs emulated-f64 on the real TPU.
+import sys as _s, os as _o; _s.path.insert(0, _o.path.dirname(_o.path.dirname(_o.path.abspath(__file__))))
 
 Shapes = GCG's against-projection at the bench operator size
 (n=157464, q width 110 = nevMax+2bs at nev=50, x width 10 = blockSize).
