@@ -271,10 +271,11 @@ F32_WARM_MIN_M = 768
 
 
 @partial(jax.jit, static_argnames=("iters", "cap", "nblk", "polish_sweeps",
-                                   "warm_dtype", "passes"))
+                                   "warm_dtype", "passes", "mesh"))
 def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
                 nblk: int | None = None, polish_sweeps: int = 4, warm=None,
-                warm_dtype: str = "auto", passes: int | None = None):
+                warm_dtype: str = "auto", passes: int | None = None,
+                mesh=None):
     """Eigendecomposition of symmetric ``h`` for large m (ascending).
 
     Device-accurate on emulated-f64 TPUs like :func:`eigh_jacobi` but at
@@ -308,8 +309,39 @@ def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
     cluster blocks (default m//2 capped at 64); ``warm`` is an optional
     ``(w0, u0)`` warm start standing in for the device eigh (tests use it
     to reproduce TPU error levels on exact-f64 hosts).
+
+    ``mesh``: optional ``jax.sharding.Mesh``.  When given, the O(m^3) work is
+    *partitioned over the mesh devices* instead of redundantly replicated:
+    the eigenvector-matrix columns are sharded over the mesh's first axis for
+    every refinement GEMM, and the batched cluster eighs are sharded over the
+    block dimension.  This is the TPU-native analogue of the reference's MPI
+    spectrum-sliced ``dsyevx`` — there each rank eigensolved an ``IL..IU``
+    index slice and ranks stitched results with ``MPI_Allgatherv``
+    (``ops_eig_sol_gcg.c:1084-1189``, splitter ``ops.c:201-256``); here each
+    device refines a column slice / a slice of the cluster blocks and XLA's
+    partitioner inserts the all-gathers.  Like the reference's, the result is
+    bit-identical on every device.
     """
     from gcge_tpu.ops.multivec import gram
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        _ax = mesh.axis_names[0]
+
+        def _cols(x):   # shard the trailing (column) axis of an m x m factor
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, _P(None, _ax)))
+
+        def _blks(x):   # shard a batched (nblk, c, c) stack over blocks
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, _P(_ax, None, None)))
+
+        def _repl(x):   # force a replicated (all-gathered) small result
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, _P()))
+    else:
+        _cols = _blks = _repl = lambda x: x
 
     m = h.shape[0]
     if nblk is None:
@@ -325,6 +357,7 @@ def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
         w0, u = w32.astype(h.dtype), u32.astype(h.dtype)
     else:
         w0, u = safe_eigh(h)
+    u = _cols(u)
     scale = jnp.maximum(jnp.max(jnp.abs(w0)), jnp.asarray(1e-300, h.dtype))
     eye = jnp.eye(m, dtype=h.dtype)
     offmask = 1.0 - eye
@@ -332,8 +365,8 @@ def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
     off_floor = jnp.asarray(32.0 * eps, h.dtype) * scale
 
     def h1_of(u):
-        h1 = gram(u, _acc_matmul_sym(h, u))
-        return 0.5 * (h1 + h1.T)
+        h1 = gram(u, _acc_matmul_sym(h, _cols(u)))
+        return _repl(0.5 * (h1 + h1.T))
 
     def gap_tol_of(h1):
         if theta is not None:
@@ -352,11 +385,11 @@ def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
             mask = jnp.abs(delta) > gap_tol
             e = jnp.where(mask, h1 / jnp.where(mask, delta, 1.0), 0.0)
             off = jnp.max(jnp.abs(jnp.where(mask, h1, 0.0)))
-            u = u @ (eye + e)
+            u = _cols(u) @ (eye + e)
             # one Newton-Schulz orthonormality step (I + E is orthogonal
             # to first order; this removes the second-order drift)
-            g = gram(u, u)
-            u = u @ (1.5 * eye - 0.5 * g)
+            g = _repl(gram(u, u))
+            u = _cols(_cols(u) @ (1.5 * eye - 0.5 * g))
             return u, h1_of(u), k + 1, off
 
         def keep_going(st):
@@ -405,11 +438,12 @@ def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
         pad_diag = (jnp.arange(c, dtype=h.dtype) + 2.0)[None, :] * \
             (2.0 * blk_norm)[:, None]
         diag_new = jnp.where(in_blk, -mu[:, None], pad_diag)
-        sub = sub + diag_new[:, :, None] * jnp.eye(c, dtype=h.dtype)
+        sub = _blks(sub + diag_new[:, :, None] * jnp.eye(c, dtype=h.dtype))
         wb0, vb0 = jax.vmap(safe_eigh)(sub)
         wb, vb = jax.vmap(
             lambda hh, ww, uu: jacobi_polish(hh, ww, uu, sweeps=polish_sweeps)
         )(sub, wb0, vb0)
+        wb, vb = _repl(wb), _repl(vb)
         # scatter block rotations into a block-diagonal m x m rotation
         s_rot = jnp.zeros((m, m), h.dtype).at[
             rows[:, :, None], rows[:, None, :]].add(
@@ -417,7 +451,7 @@ def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
         covered = jnp.zeros((m,), jnp.int32).at[rows].add(
             in_blk.astype(jnp.int32), mode="drop") > 0
         s_rot = s_rot + jnp.diag(jnp.where(covered, 0.0, 1.0).astype(h.dtype))
-        u = u @ s_rot
+        u = _cols(_cols(u) @ s_rot)
         w = jnp.where(covered, 0.0, d)
         w = w.at[rows].add(jnp.where(in_blk, wb + mu[:, None], 0.0),
                            mode="drop")
@@ -432,7 +466,7 @@ def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
             h1 = h1_of(u)
 
     order = jnp.argsort(w)
-    return jnp.take(w, order), jnp.take(u, order, axis=1)
+    return jnp.take(w, order), _repl(jnp.take(u, order, axis=1))
 
 
 # m above which 'auto' prefers the Newton refinement over Jacobi sweeps on
@@ -466,7 +500,7 @@ def _host_eigh(h):
     )
 
 
-def eigh(h, backend: str = "auto"):
+def eigh(h, backend: str = "auto", mesh=None):
     """Symmetric eigendecomposition, ascending.
 
     backend:
@@ -477,6 +511,11 @@ def eigh(h, backend: str = "auto"):
       * ``'newton'`` — :func:`eigh_newton` (refinement + cluster rotations;
         O(m^3) per step — the large-m / huge-nev path).
       * ``'host'``   — LAPACK via pure_callback (not available on axon).
+
+    ``mesh`` (newton path only): partition the refinement work over the mesh
+    devices — the spectrum-sliced parallel-``dsyevx`` analogue (see
+    :func:`eigh_newton`).  Other backends ignore it (their work is already
+    negligible or replicated by design).
     """
     if backend == "auto":
         if jax.default_backend() == "tpu" and h.dtype == jnp.float64:
@@ -488,5 +527,5 @@ def eigh(h, backend: str = "auto"):
     if backend == "jacobi":
         return eigh_jacobi(h)
     if backend == "newton":
-        return eigh_newton(h)
+        return eigh_newton(h, mesh=mesh)
     return safe_eigh(h)

@@ -245,17 +245,20 @@ def _big_expand(v, c, prec: str):
     return v @ c
 
 
-def _eigh(h, backend: str):
+def _eigh(h, backend: str, mesh=None):
     """Projected-problem eigensolve; see :mod:`gcge_tpu.ops.eighs` for why
-    plain device eigh is not enough on emulated-f64 TPUs."""
+    plain device eigh is not enough on emulated-f64 TPUs.  When a mesh is
+    given, the large-m Newton path partitions its work over the devices (the
+    spectrum-sliced-``dsyevx`` analogue, ``ops_eig_sol_gcg.c:1084-1189``)."""
     from gcge_tpu.ops.eighs import eigh as eigh_impl
 
-    return eigh_impl(h, backend)
+    return eigh_impl(h, backend, mesh=mesh)
 
 
-@partial(jax.jit, static_argnames=("size_x", "bs", "rr_backend", "gemm_prec"))
+@partial(jax.jit, static_argnames=("size_x", "bs", "rr_backend", "gemm_prec",
+                                   "mesh"))
 def _initial_rr(a_op, v, size_x: int, bs: int, rr_backend: str = "auto",
-                gemm_prec: str = "f64"):
+                gemm_prec: str = "f64", mesh=None):
     """First Rayleigh-Ritz on V = [X]: H = X^T A X, eigh, Ritz vectors.
 
     Reference: first ``ComputeRayleighRitz`` call with sizeX == sizeV
@@ -267,7 +270,7 @@ def _initial_rr(a_op, v, size_x: int, bs: int, rr_backend: str = "auto",
     else:
         h_xx = _big_gram(x, a_op.matvec(x), gemm_prec)
         h_xx = 0.5 * (h_xx + h_xx.T)
-    w, c = _eigh(h_xx, rr_backend)
+    w, c = _eigh(h_xx, rr_backend, mesh)
     ss_eval = jnp.concatenate([w, jnp.full((m - size_x,), w[-1], w.dtype)])
     ss_evec = jnp.eye(m, dtype=v.dtype).at[:size_x, :size_x].set(c)
     h = jnp.zeros((m, m), v.dtype).at[:size_x, :size_x].set(h_xx)
@@ -440,17 +443,21 @@ def _compute_w(a_op, b_op, v, ritz, ss_eval, act_idx, act_cnt, sigma,
     return v, w_cnt, niters, final_res
 
 
-@partial(jax.jit, static_argnames=("size_x", "bs", "rr_backend", "gemm_prec"))
+@partial(jax.jit, static_argnames=("size_x", "bs", "rr_backend", "gemm_prec",
+                                   "mesh"))
 def _rayleigh_ritz(a_op, v, h_pp, ss_eval, p_cnt, w_cnt, size_x: int, bs: int,
-                   rr_backend: str = "auto", gemm_prec: str = "f64"):
+                   rr_backend: str = "auto", gemm_prec: str = "f64",
+                   mesh=None):
     """Assemble the projected matrix and solve the small eigenproblem.
 
     Reference ``ComputeRayleighRitz`` (``ops_eig_sol_gcg.c:925-1252``):
     X-block = diag(lambda), X-P block = 0, P-block from the recurrence, the
     W-coupling ``V^T A W`` is the only large A-apply; invalid slots are padded
     with a Gershgorin-large diagonal instead of shrinking the matrix.  The
-    ``dsyevx`` spectrum-slicing MPI path (``:1084-1189``) is unnecessary: the
-    replicated ``eigh`` runs identically on every device."""
+    ``dsyevx`` spectrum-slicing MPI path (``:1084-1189``) maps to ``mesh``:
+    small projected problems run replicated (identical on every device, like
+    the reference's 1-rank case), and large-m Newton solves shard their
+    refinement work over the mesh (see :func:`gcge_tpu.ops.eighs.eigh_newton`)."""
     m = size_x + 2 * bs
     wblk = v[:, size_x + bs:]
     aw = a_op.matvec(wblk)
@@ -477,7 +484,7 @@ def _rayleigh_ritz(a_op, v, h_pp, ss_eval, p_cnt, w_cnt, size_x: int, bs: int,
     h = h * fvalid[None, :] * fvalid[:, None]
     gersh = jnp.max(jnp.sum(jnp.abs(h), axis=1)) + 1.0
     h_eig = h + jnp.diag((1.0 - fvalid) * gersh)
-    w, c = _eigh(h_eig, rr_backend)
+    w, c = _eigh(h_eig, rr_backend, mesh)
     act_tot = size_x + p_cnt + w_cnt
     lam_pad = jnp.take(w, act_tot - 1)
     ss_eval_new = jnp.where(jnp.arange(m) < act_tot, w, lam_pad)
@@ -568,7 +575,7 @@ def _check_convergence_traced(res, ss_eval, c0, scan_from, nev_conv_prev,
                      "linear_solver", "max_steps", "tol_abs", "tol_rel",
                      "gap_min", "auto_shift", "shift", "rr_backend",
                      "mixed", "refine", "precond", "check_max",
-                     "orth_method", "orth_prec", "gemm_prec"),
+                     "orth_method", "orth_prec", "gemm_prec", "mesh"),
 )
 def _gcg_chunk(a_op, b_op, v, ritz, ss_eval, ss_evec, h,
                act_idx, act_cnt, nev_conv, num_iter, nev_target,
@@ -579,7 +586,7 @@ def _gcg_chunk(a_op, b_op, v, ritz, ss_eval, ss_evec, h,
                rr_backend: str = "auto", mixed: bool = False,
                refine: int = 2, precond=None, check_max: int = 0,
                orth_method: str = "evp", orth_prec: str = "auto",
-               gemm_prec: str = "f64"):
+               gemm_prec: str = "f64", mesh=None):
     """Run up to ``max_steps`` full GCG iterations on device; exits early when
     ``nev_conv >= nev_target`` or the subspace stagnates (P and W deflated)."""
     m = size_x + 2 * bs
@@ -635,7 +642,7 @@ def _gcg_chunk(a_op, b_op, v, ritz, ss_eval, ss_evec, h,
         # ---- RayleighRitz + RitzVec ----
         ss_eval, ss_evec, h, ritz = _rayleigh_ritz(
             a_op, v, h_pp, ss_eval, p_cnt, w_cnt, size_x, bs, rr_backend,
-            gemm_prec)
+            gemm_prec, mesh)
 
         stall = jnp.where((p_cnt == 0) & (w_cnt == 0), stall + 1, jnp.int32(0))
         return (v, ritz, ss_eval, ss_evec, h, act_new, cnt_new, nev_conv,
@@ -848,7 +855,8 @@ def _gcg_solve_impl(a_op, b_op, params, x0, key, mesh) -> GCGResult:
     m = size_x + 2 * bs
     v = _shard(jnp.zeros((n, m), dtype)).at[:, :size_x].set(_shard(x))
     ss_eval, ss_evec, h, ritz, v = timed("compRR", _initial_rr, a_op, v,
-                                          size_x, bs, p.rr_backend, gemm_prec)
+                                          size_x, bs, p.rr_backend, gemm_prec,
+                                          mesh)
 
     nev_target = nev0 if size_x >= p.nev_max else min(2 * bs, nev0)
     nev_conv = 0
@@ -878,7 +886,7 @@ def _gcg_solve_impl(a_op, b_op, params, x0, key, mesh) -> GCGResult:
                 p.linear_solver, p.fuse, p.tol_abs, p.tol_rel, p.gap_min,
                 p.cg_auto_shift, p.cg_shift, p.rr_backend, p.cg_mixed,
                 p.cg_refine, p.linear_precond, p.check_max, p.orth_method,
-                orth_prec, gemm_prec,
+                orth_prec, gemm_prec, mesh,
             )
             nev_conv = int(nev_conv_d)
             num_iter = int(num_iter_d)
@@ -1036,7 +1044,7 @@ def _gcg_solve_impl(a_op, b_op, params, x0, key, mesh) -> GCGResult:
         t0 = time.perf_counter()
         ss_eval, ss_evec, h, ritz = _rayleigh_ritz(
             a_op, v, h_pp, ss_eval, p_cnt, w_cnt, size_x, bs, p.rr_backend,
-            gemm_prec,
+            gemm_prec, mesh,
         )
         jax.block_until_ready(ritz)
         timers["compRR"] += time.perf_counter() - t0

@@ -407,3 +407,49 @@ def test_distributed_pas(mesh):
     assert res.nev_conv >= nev
     np.testing.assert_allclose(res.eval, laplacian_1d_eigs(n)[:nev],
                                rtol=1e-6)
+
+
+def test_sharded_eigh_newton(mesh, rng):
+    """Mesh-sharded projected eigensolve — the spectrum-sliced-dsyevx
+    analogue (``ops_eig_sol_gcg.c:1084-1189``): the Newton refinement's
+    O(m^3) work is partitioned over the devices, and the result must match
+    the replicated solve (the reference's determinism requirement)."""
+    from gcge_tpu.ops.eighs import eigh_newton
+
+    m = 192
+    lam = np.sort(rng.uniform(0.5, 50.0, m))
+    lam[40:44] = lam[40]            # a degenerate cluster for stage 2
+    q, _ = np.linalg.qr(rng.standard_normal((m, m)))
+    h = jnp.asarray(q * lam[None, :] @ q.T)
+    h = 0.5 * (h + h.T)
+
+    # emulate the TPU's noisy warm start so the refinement has work to do
+    w0, u0 = np.linalg.eigh(np.asarray(h))
+    u0 = u0 + 3e-7 * rng.standard_normal((m, m)) * np.abs(lam).max() ** 0.5
+    warm = (jnp.asarray(w0), jnp.asarray(u0))
+
+    w_s, u_s = eigh_newton(h, warm=warm, mesh=mesh)
+    w_r, u_r = eigh_newton(h, warm=warm)
+    hn = np.asarray(h)
+    resid = np.linalg.norm(
+        hn @ np.asarray(u_s) - np.asarray(u_s) * np.asarray(w_s)[None, :],
+        axis=0).max() / np.abs(lam).max()
+    assert resid < 1e-9, resid
+    np.testing.assert_allclose(np.asarray(w_s), np.sort(lam), rtol=1e-10)
+    # sharded and replicated paths agree to rounding
+    np.testing.assert_allclose(np.asarray(w_s), np.asarray(w_r), rtol=1e-12)
+
+
+def test_distributed_gcg_newton_rr(mesh):
+    """Distributed GCG with the (sharded) Newton RR backend forced."""
+    n = 512
+    a, _ = laplacian_1d(n)
+    rows, cols = np.nonzero(a)
+    op = shard_operator(SparseOperator.from_coo(rows, cols, a[rows, cols],
+                                                a.shape), mesh)
+    params = GCGParams(nev=5, block_size=3, verbose=0, rr_backend="newton",
+                       tol_rel=1e-8)
+    res = gcg_solve(op, None, params, mesh=mesh)
+    assert res.nev_conv >= 5
+    np.testing.assert_allclose(res.eval[:5], laplacian_1d_eigs(n)[:5],
+                               rtol=1e-7)
