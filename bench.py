@@ -103,10 +103,18 @@ def spmm_sweep(rows, cols, vals, n, nnz, bs, x_np):
         def body(i, y):
             return matvec(y) * 0.001
         g = jax.jit(lambda xx: jax.lax.fori_loop(0, k, body, xx))
-        g(x).block_until_ready()
+        # On the tunneled runtime block_until_ready can return before the
+        # device finishes (benchmarks/repeat_cache_probe.py) — a VALUE FETCH
+        # is the only reliable completion barrier.  Subtract the measured
+        # round-trip floor so the per-op cost is not inflated by it.
+        fetch = lambda y: float(jnp.ravel(y)[0])
+        fetch(g(x))
         t0 = time.perf_counter()
-        g(x).block_until_ready()
-        return (time.perf_counter() - t0) / k
+        fetch(x)
+        floor = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fetch(g(x))
+        return max(time.perf_counter() - t0 - floor, 1e-9) / k
 
     results = {}
     for dt in ("float64", "float32"):

@@ -34,10 +34,14 @@ w_ref = np.linalg.eigvalsh(h)
 
 
 def run(name, fn):
-    w, u = fn(hj); jax.block_until_ready((w, u))
+    # IMPORTANT: on the axon tunnel block_until_ready in a tight loop
+    # returns optimistically (see repeat_cache_probe.py) — every timed rep
+    # must FETCH a value to force completion.  ~30 ms round trip is part of
+    # each rep; subtract the floor when comparing micro-costs.
+    w, u = fn(hj); float(w[0])
     t0 = time.perf_counter()
     for _ in range(3):
-        w, u = fn(hj); jax.block_until_ready((w, u))
+        w, u = fn(hj); float(w[0])
     dt = (time.perf_counter() - t0) / 3
     wn, un = np.asarray(w), np.asarray(u)
     resid = np.linalg.norm(h @ un - un * wn[None, :], axis=0).max() / np.abs(w_ref).max()
