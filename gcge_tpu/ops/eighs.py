@@ -264,18 +264,28 @@ def _acc_matmul_sym(h, u):
 
 # above this m the 'auto' warm start switches to the f32 device eigh: the
 # emulated-f64 eigh does not COMPILE on the axon runtime past ~1000 rows
-# (remote tpu_compile_helper crash; m=1024 never finished), while the f32
-# one is a plain native-precision QDWH — its ~1e-5-relative eigenvectors
-# are plenty for the trust-capped refinement below.
+# (remote tpu_compile_helper crash; m=1024 never finished), so past this
+# threshold the f32 QDWH + multi-pass refinement is the ONLY warm start.
+# Below it the f64 warm is the better default despite being ~2.5x slower
+# per eigh (fetch-barrier-measured at m=480: f64-warm 539 ms vs f32-warm
+# 213 ms): the f32-warm result is floored at the h1-Gram noise (~1e-12
+# eigen-residuals vs ~1e-13), and inside GCG that quality gap measurably
+# inflates OUTER iterations — the nev=200 production bench ran 54 iters /
+# 40.7 s with the f64 warm vs 114 iters / 43.7 s with the f32 warm
+# (benchmarks/nev200.py): per-call savings fully eaten by extra iterations,
+# with a thinner convergence margin.  Lowering this threshold is safe
+# (the refine trust cap + divergence guard + cluster-first ordering keep
+# the coarse warm start convergent) but not profitable.
 F32_WARM_MIN_M = 768
 
 
 @partial(jax.jit, static_argnames=("iters", "cap", "nblk", "polish_sweeps",
-                                   "warm_dtype", "passes", "mesh"))
+                                   "warm_dtype", "passes", "mesh",
+                                   "cluster_first"))
 def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
                 nblk: int | None = None, polish_sweeps: int = 4, warm=None,
                 warm_dtype: str = "auto", passes: int | None = None,
-                mesh=None):
+                mesh=None, cluster_first: bool | None = None):
     """Eigendecomposition of symmetric ``h`` for large m (ascending).
 
     Device-accurate on emulated-f64 TPUs like :func:`eigh_jacobi` but at
@@ -362,7 +372,23 @@ def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
     eye = jnp.eye(m, dtype=h.dtype)
     offmask = 1.0 - eye
     eps = float(jnp.finfo(h.dtype).eps)
-    off_floor = jnp.asarray(32.0 * eps, h.dtype) * scale
+    # Two stopping floors for the Newton refinement, chosen per pass:
+    # * FIRST pass: 32*eps*scale.  GCG needs the Rayleigh-Ritz basis at this
+    #   quality — raising it to 1024*eps measurably stalls the nev=200
+    #   production solve (pairs floor right at the 1e-8 relative test).
+    #   The refine loop CAN reach ~10*eps*scale: within the loop the
+    #   Newton-Schulz step keeps repairing u with accurate Grams.
+    # * RE-ENTRANT passes (multi-pass coarse warm starts): 1024*eps*scale.
+    #   Rebuilding h1 from scratch between passes (cluster rotations are
+    #   plain emulated-f64 GEMMs) leaves ~200*eps*scale of off-diagonal
+    #   noise even for an exact eigenbasis (measured 1.05e-12 at scale
+    #   21.8).  A re-entrant pass below that floor "refines" pure noise:
+    #   gap_tol collapses to the noise scale, E = noise/noise-gaps becomes
+    #   an O(0.1)-norm random rotation, and ONE such step costs 4 decades
+    #   (observed: 9.9e-14 -> 5.5e-8 orthonormality on a production RR
+    #   matrix).  1024*eps gives ~5x margin over the measured noise.
+    off_floor_first = jnp.asarray(32.0 * eps, h.dtype) * scale
+    off_floor_reent = jnp.asarray(1024.0 * eps, h.dtype) * scale
 
     def h1_of(u):
         h1 = gram(u, _acc_matmul_sym(h, _cols(u)))
@@ -374,9 +400,15 @@ def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
         off0 = jnp.max(jnp.abs(h1 * offmask))
         return jnp.maximum(8.0 * off0, (64.0 * eps) * scale)
 
-    def refine(u, h1):
+    def refine(u, h1, off_floor):
         """Masked Newton refinement (stage 1)."""
         gap_tol = gap_tol_of(h1)
+
+        def masked_off(h1):
+            d = jnp.diagonal(h1)
+            delta = d[None, :] - d[:, None]
+            mask = jnp.abs(delta) > gap_tol
+            return jnp.max(jnp.abs(jnp.where(mask, h1, 0.0)))
 
         def step(st):
             u, h1, k, _ = st
@@ -385,6 +417,15 @@ def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
             mask = jnp.abs(delta) > gap_tol
             e = jnp.where(mask, h1 / jnp.where(mask, delta, 1.0), 0.0)
             off = jnp.max(jnp.abs(jnp.where(mask, h1, 0.0)))
+            # trust cap on the WHOLE correction: the per-entry bound
+            # |E| <= 1/8 does not bound ||E||_2 when many pairs sit just
+            # past gap_tol, and u(I + E) with a large E runs away faster
+            # than one Newton-Schulz step can re-orthonormalize (observed:
+            # a coarse f32 warm start on a 6e-3-spaced spectrum diverged to
+            # 1e49).  ||E||_2 <= sqrt(||E||_1 ||E||_inf) is two reductions.
+            e_2 = jnp.sqrt(jnp.max(jnp.sum(jnp.abs(e), 0)) *
+                           jnp.max(jnp.sum(jnp.abs(e), 1)))
+            e = e * jnp.minimum(1.0, 0.25 / jnp.maximum(e_2, 1e-300))
             u = _cols(u) @ (eye + e)
             # one Newton-Schulz orthonormality step (I + E is orthogonal
             # to first order; this removes the second-order drift)
@@ -392,9 +433,19 @@ def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
             u = _cols(_cols(u) @ (1.5 * eye - 0.5 * g))
             return u, h1_of(u), k + 1, off
 
+        off_entry = masked_off(h1)
+
         def keep_going(st):
-            _, _, k, off = st
-            return (k < iters) & (off > off_floor)
+            _, h1, k, _ = st
+            off = masked_off(h1)
+            # divergence guard: large near-gap_tol clusters make the
+            # iteration a repeller (each step amplifies the masked coupling
+            # by ~cluster_len/8 through second-order cross terms with the
+            # intra-cluster coupling refine cannot touch).  Mild growth is
+            # fine — the bulk of the pairs still contract and the cluster
+            # stage mops up — but runaway (>8x the pass entry coupling)
+            # means every further step is destructive: stop and hand off.
+            return (k < iters) & (off > off_floor) & (off < 8.0 * off_entry)
 
         u, h1, _, _ = jax.lax.while_loop(
             keep_going, step,
@@ -459,8 +510,29 @@ def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
 
     h1 = h1_of(u)
     w = jnp.diagonal(h1)
+    if cluster_first is None:
+        # coarse warm starts only: with an f64-quality warm start gap_tol
+        # sits far below the spacing (singleton clusters) and the extra
+        # stage would be pure cost
+        cluster_first = use_f32_warm or warm is not None
+    if cluster_first:
+        # cluster-FIRST for coarse warm starts: with f32-level coupling,
+        # gap_tol lands at the eigenvalue-spacing scale and clusters grow to
+        # dozens of members; the Newton stage then AMPLIFIES the masked
+        # coupling by ~cluster_len/8 per step (second-order cross terms with
+        # the intra-cluster coupling it cannot touch) — a repeller, observed
+        # diverging to 1e49 on a production Rayleigh-Ritz matrix.  One
+        # cluster pass up front exactly diagonalizes those blocks, dropping
+        # the intra-cluster coupling to the batched-eigh floor; every
+        # subsequent refine sees singleton-scale clusters and contracts
+        # quadratically as designed.  (f64-quality warm starts skip this:
+        # their gap_tol sits far below the spacing, so clusters are already
+        # singletons and the extra stage would be pure cost.)
+        u, w = cluster_rotate(u, h1, gap_tol_of(h1))
+        h1 = h1_of(u)
     for p in range(passes):
-        u, h1, gap_tol = refine(u, h1)
+        u, h1, gap_tol = refine(
+            u, h1, off_floor_first if p == 0 else off_floor_reent)
         u, w = cluster_rotate(u, h1, gap_tol)
         if p + 1 < passes:
             h1 = h1_of(u)

@@ -67,6 +67,41 @@ def test_eigh_newton_corrupted_warm_start(rng):
     assert np.abs(w - lam).max() < 1e-10 * scale
 
 
+def test_eigh_newton_coarse_warm_giant_clusters(rng):
+    """Regression: a COARSE (f32-device-eigh-level) warm start on a tightly
+    spaced spectrum makes gap_tol exceed the eigenvalue spacing, gluing the
+    whole spectrum into cap-split giant clusters.  The masked Newton stage is
+    then a REPELLER — each step amplifies the masked coupling by
+    ~cluster_len/8 through second-order cross terms with the intra-cluster
+    coupling it cannot touch — and before the trust cap + divergence guard +
+    cluster-first ordering this configuration diverged to ~1e49 (observed on
+    the axon TPU at nev=200: its f32 QDWH warm start has ~4e-5-relative
+    coupling, 50x coarser than LAPACK's f32).  This reproduces that exact
+    regime host-side: 220 eigenvalues spaced ~1.3e-2 + a 20-fold degenerate
+    pad block, warm start rotated by a 6e-4 random skew so the entry coupling
+    (~1.8e-2) puts gap_tol (~0.14) far above the spacing."""
+    m, mp = 240, 20
+    lam = np.concatenate([np.linspace(23.6, 26.5, m - mp), np.full(mp, 32.98)])
+    q, _ = np.linalg.qr(rng.standard_normal((m, m)))
+    h = q @ np.diag(lam) @ q.T
+    h = 0.5 * (h + h.T)
+    w_ex, u_ex = np.linalg.eigh(h)
+    skew = 6e-4 * rng.standard_normal((m, m))
+    skew = 0.5 * (skew - skew.T)
+    u0 = u_ex @ np.linalg.qr(np.eye(m) + skew)[0]
+    h1 = u0.T @ h @ u0
+    off0 = np.abs(h1 - np.diag(np.diag(h1))).max()
+    spacing = (26.5 - 23.6) / (m - mp)
+    assert 8.0 * off0 > spacing       # the repeller regime really is armed
+    w, u = eigh_newton(jnp.asarray(h), warm=(jnp.asarray(w_ex),
+                                             jnp.asarray(u0)), passes=3)
+    w, u = np.asarray(w), np.asarray(u)
+    scale = np.abs(lam).max()
+    assert np.abs(h @ u - u * w[None, :]).max() < 1e-11 * scale
+    assert np.abs(u.T @ u - np.eye(m)).max() < 1e-11
+    assert np.abs(w - lam).max() < 1e-11 * scale
+
+
 def test_eigh_newton_identityish(rng):
     """Fully degenerate spectrum: every slot is one cluster."""
     m = 96
