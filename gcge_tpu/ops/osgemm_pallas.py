@@ -50,6 +50,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gcge_tpu.ops.spmm_pallas import _VMEM_LIMIT
+
 from gcge_tpu.ops.osgemm import BITS, SLICES, _PAIRS
 
 
@@ -212,6 +214,7 @@ def _os_gram_kernel_call(ahi_t, alo_t, bhi_t, blo_t, nr: int, pb: int,
         scratch_shapes=[pltpu.VMEM((sp, nr), jnp.bfloat16),
                         pltpu.VMEM((sq, nr), jnp.bfloat16)],
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
         cost_estimate=pl.CostEstimate(
             flops=2 * SLICES * SLICES * n_pad * p_pad * qp,
             bytes_accessed=8 * n_pad * (p_pad + qp * pblocks),
@@ -346,6 +349,7 @@ def _os_expand_kernel_call(ahi_t, alo_t, ccat, nr: int, q: int,
         in_specs=[a_spec, a_spec, c_spec],
         out_specs=(o_spec, o_spec),
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
         cost_estimate=pl.CostEstimate(
             flops=2 * SLICES * SLICES * n_pad * k * qp,
             bytes_accessed=8 * n_pad * k + 8 * n_pad * qp,

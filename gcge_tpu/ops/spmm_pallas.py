@@ -42,6 +42,20 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# XLA:TPU may place a pallas call's whole operand/result buffers on the
+# scoped-VMEM stack (program-context dependent: the same shapes compile
+# standalone and fail inside a fused loop, or vice versa), and the DEFAULT
+# scoped limit is 16 MB — far below the v5e's 128 MB of physical VMEM.
+# Medium-n shapes whose padded in+out frames land in the 16..40 MB window
+# then fail to compile ("Ran out of memory in memory space vmem ...
+# allocating on stack"; observed at n=46656, 64-row chunks — the nev=400
+# production case).  Raising the per-kernel limit makes the whole window
+# compile (verified bit-exact vs the XLA path); 72 MB covers the largest
+# frame the row-chunk guards below allow (~38 MB for df64) with 2x margin
+# while staying well under physical VMEM.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=72 * 2**20)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("offsets", "tn", "interpret", "hl"))
 def _dia_spmm_t(values, offsets: tuple[int, ...], xt, tn: int, interpret: bool,
@@ -101,6 +115,7 @@ def _dia_spmm_t(values, offsets: tuple[int, ...], xt, tn: int, interpret: bool,
         out_specs=pl.BlockSpec((m_pad, tn), lambda i: (i * 0, i), memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((m_pad, 3 * tn), xt.dtype)],
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
         cost_estimate=pl.CostEstimate(
             flops=2 * ndiag * n_pad * m_pad,
             bytes_accessed=(ndiag * n_pad + 2 * m_pad * n_pad) * xt.dtype.itemsize,
@@ -247,6 +262,7 @@ def _dia_spmm_t_df64(vhi, vlo, offsets: tuple[int, ...], xhi, xlo,
         scratch_shapes=[pltpu.VMEM((m_pad, 3 * tn), jnp.float32),
                         pltpu.VMEM((m_pad, 3 * tn), jnp.float32)],
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
         cost_estimate=pl.CostEstimate(
             flops=40 * ndiag * n_pad * m_pad,
             bytes_accessed=(2 * ndiag * n_pad + 6 * m_pad * n_pad) * 4,
