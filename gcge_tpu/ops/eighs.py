@@ -281,11 +281,12 @@ F32_WARM_MIN_M = 768
 
 @partial(jax.jit, static_argnames=("iters", "cap", "nblk", "polish_sweeps",
                                    "warm_dtype", "passes", "mesh",
-                                   "cluster_first"))
+                                   "cluster_first", "out"))
 def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
                 nblk: int | None = None, polish_sweeps: int = 4, warm=None,
                 warm_dtype: str = "auto", passes: int | None = None,
-                mesh=None, cluster_first: bool | None = None):
+                mesh=None, cluster_first: bool | None = None,
+                out: str = "replicated"):
     """Eigendecomposition of symmetric ``h`` for large m (ascending).
 
     Device-accurate on emulated-f64 TPUs like :func:`eigh_jacobi` but at
@@ -331,6 +332,16 @@ def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
     device refines a column slice / a slice of the cluster blocks and XLA's
     partitioner inserts the all-gathers.  Like the reference's, the result is
     bit-identical on every device.
+
+    Under a mesh the m x m factors (``h``, ``h1``, ``u``, the rotations) are
+    also column-sharded in MEMORY, so the per-device resident footprint is
+    ~m^2/n_devices instead of m^2 — the enabler for nev >= ~5000 runs where
+    a replicated projected matrix alone is ~GBs (this runtime stores f64 at
+    32 B/element).  Transients still peak at one gathered operand per GEMM
+    (XLA's all-gather-matmul); the warm-start device eigh gathers its input
+    once.  ``out`` controls the RESULT placement: ``'replicated'`` (default,
+    both ``w`` and ``u`` all-gathered — the drop-in contract) or ``'cols'``
+    (``u`` left column-sharded; ``w`` is always replicated).
     """
     from gcge_tpu.ops.multivec import gram
 
@@ -354,6 +365,7 @@ def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
         _cols = _blks = _repl = lambda x: x
 
     m = h.shape[0]
+    h = _cols(h)        # resident h is column-sharded under a mesh
     if nblk is None:
         nblk = max(1, min(m // 2, 64))
     use_f32_warm = warm is None and (
@@ -392,7 +404,7 @@ def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
 
     def h1_of(u):
         h1 = gram(u, _acc_matmul_sym(h, _cols(u)))
-        return _repl(0.5 * (h1 + h1.T))
+        return _cols(0.5 * (h1 + h1.T))
 
     def gap_tol_of(h1):
         if theta is not None:
@@ -429,7 +441,7 @@ def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
             u = _cols(u) @ (eye + e)
             # one Newton-Schulz orthonormality step (I + E is orthogonal
             # to first order; this removes the second-order drift)
-            g = _repl(gram(u, u))
+            g = _cols(gram(u, u))
             u = _cols(_cols(u) @ (1.5 * eye - 0.5 * g))
             return u, h1_of(u), k + 1, off
 
@@ -452,24 +464,32 @@ def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
             (u, h1, jnp.int32(0), jnp.full((), jnp.inf, h.dtype)))
         return u, h1, gap_tol
 
-    def cluster_rotate(u, h1, gap_tol):
+    def cluster_rotate(u, h1, gap_tol, phase=0, c=None, nblk_=None):
         """Batched mean-shifted block eighs on near-degenerate runs
-        (stage 2).  Returns the rotated ``(u, w)``."""
+        (stage 2).  Returns the rotated ``(u, w)``.
+
+        ``phase`` offsets the cap-split boundaries of over-cap runs (split
+        at ``pos0 % c == phase`` instead of 0); ``c``/``nblk_`` override the
+        block size and block budget (the over-cap fix-up below re-runs this
+        stage with blocks wide enough to hold a whole run)."""
         d = jnp.diagonal(h1)
-        c = cap
+        if c is None:
+            c = cap
+        if nblk_ is None:
+            nblk_ = nblk
         idx = jnp.arange(m)
         gaps = jnp.concatenate([jnp.ones((1,), h.dtype) * (2 * gap_tol),
                                 d[1:] - d[:-1]])
         b0 = gaps > gap_tol                               # cluster starts
         start0 = jax.lax.cummax(jnp.where(b0, idx, 0))
         pos0 = idx - start0
-        b = b0 | (pos0 % c == 0)                          # split at cap
+        b = b0 | (pos0 % c == phase)                      # split at cap
         seg = jnp.cumsum(b.astype(jnp.int32)) - 1         # segment ids
         ones = jnp.ones((m,), jnp.int32)
         seg_len = jax.ops.segment_sum(ones, seg, num_segments=m)
         len_at = jnp.take(seg_len, seg)
         multi_start = b & (len_at >= 2)
-        starts = jnp.nonzero(multi_start, size=nblk, fill_value=m)[0]
+        starts = jnp.nonzero(multi_start, size=nblk_, fill_value=m)[0]
         valid_blk = starts < m
         lens = jnp.where(
             valid_blk,
@@ -501,7 +521,8 @@ def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
             jnp.where(mvalid, vb, 0.0), mode="drop")
         covered = jnp.zeros((m,), jnp.int32).at[rows].add(
             in_blk.astype(jnp.int32), mode="drop") > 0
-        s_rot = s_rot + jnp.diag(jnp.where(covered, 0.0, 1.0).astype(h.dtype))
+        s_rot = _cols(
+            s_rot + jnp.diag(jnp.where(covered, 0.0, 1.0).astype(h.dtype)))
         u = _cols(_cols(u) @ s_rot)
         w = jnp.where(covered, 0.0, d)
         w = w.at[rows].add(jnp.where(in_blk, wb + mu[:, None], 0.0),
@@ -537,8 +558,70 @@ def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
         if p + 1 < passes:
             h1 = h1_of(u)
 
+    if cap < m:
+        # Over-cap fix-up: a near-degenerate run LONGER than ``cap`` is
+        # split into sub-blocks, and neither stage can finish it — the
+        # batched eighs cannot remove the coupling ACROSS split boundaries
+        # and refine skips those pairs too (gap < gap_tol), so the result
+        # plateaus at the cluster-width scale (measured: 1.2e-5 eigenvalue
+        # error on a 100-wide cluster of 1e-6-spaced values at cap=64).
+        # Staggered/tournament block-Jacobi sweeps do NOT converge here:
+        # on a near-degenerate run each block eigh is an arbitrary basis
+        # re-scramble (degenerate perturbation theory), so per-block
+        # rotations conserve the cross-block mass — simulated stall at
+        # ~0.5x the entry coupling after 24 sweeps.  The only closing move
+        # is a block WIDE enough to hold the whole run: when the final
+        # pre-rotation h1 shows an over-cap run, re-run the cluster stage
+        # with c = min(512, m) (the emulated-f64 device eigh compiles to
+        # ~768 on this runtime — see F32_WARM_MIN_M), one mean-shifted
+        # eigh per run.  Runs wider than 512 keep the width-scale plateau
+        # (documented limitation).  The detection reuses the existing h1
+        # diagonal (no extra O(m^3) work); the fix-up body runs only when
+        # taken (lax.cond).
+        d_det = jnp.diagonal(h1)
+        gaps_det = jnp.concatenate(
+            [jnp.full((1,), 2 * gap_tol, h.dtype), d_det[1:] - d_det[:-1]])
+        b0_det = gaps_det > gap_tol
+        seg_det = jnp.cumsum(b0_det.astype(jnp.int32)) - 1
+        len_det = jax.ops.segment_sum(
+            jnp.ones((m,), jnp.int32), seg_det, num_segments=m)
+        overcap = jnp.max(len_det) > cap
+        c2 = min(512, m)
+        nblk2 = max(2, min(8, -(-m // c2) + 1))
+
+        def _intra_off(h1c, gt):
+            dd = jnp.diagonal(h1c)
+            delta = dd[None, :] - dd[:, None]
+            msk = (jnp.abs(delta) <= gt) & (offmask > 0)
+            return jnp.max(jnp.abs(jnp.where(msk, h1c, 0.0)))
+
+        def _fixup(args):
+            u, w = args
+
+            def body(st):
+                u, w, h1c, k = st
+                gt = gap_tol_of(h1c)
+                u, w = cluster_rotate(
+                    u, h1c, gt,
+                    phase=jnp.where(k % 2 == 0, 0, c2 // 2),
+                    c=c2, nblk_=nblk2)
+                return u, w, h1_of(u), k + 1
+
+            def cond_f(st):
+                _, _, h1c, k = st
+                return (k < 3) & (
+                    _intra_off(h1c, gap_tol_of(h1c)) > off_floor_reent)
+
+            u, w, _, _ = jax.lax.while_loop(
+                cond_f, body, (u, w, h1_of(u), jnp.int32(0)))
+            return u, w
+
+        u, w = jax.lax.cond(overcap, _fixup, lambda a: a, (u, w))
+
     order = jnp.argsort(w)
-    return jnp.take(w, order), _repl(jnp.take(u, order, axis=1))
+    u_out = jnp.take(u, order, axis=1)
+    u_out = _cols(u_out) if out == "cols" else _repl(u_out)
+    return _repl(jnp.take(w, order)), u_out
 
 
 # m above which 'auto' prefers the Newton refinement over Jacobi sweeps on

@@ -102,6 +102,38 @@ def test_eigh_newton_coarse_warm_giant_clusters(rng):
     assert np.abs(w - lam).max() < 1e-11 * scale
 
 
+def test_eigh_newton_overcap_near_degenerate(rng):
+    """Regression: a near-degenerate run WIDER than the cluster cap (100
+    eigenvalues spaced 1e-6 at cap=64), with the warm start fully mixed
+    inside the run.  The cap-split batched eighs cannot remove the coupling
+    across the split boundaries and refine skips those pairs too
+    (gap < gap_tol), so before the over-cap fix-up this plateaued at the
+    cluster-width scale (measured 1.2e-5 eigenvalue error / 2e-4 residual).
+    Staggered and tournament block-Jacobi sweeps do NOT close it (each
+    degenerate block eigh is an arbitrary basis re-scramble; simulated
+    stall at ~0.5x entry coupling after 24 sweeps) — only the escalated
+    c=min(512, m) single-block rotation does."""
+    m, nc = 160, 100
+    lam = np.sort(np.concatenate(
+        [1.0 + 1e-6 * np.arange(nc), np.linspace(2.0, 50.0, m - nc)]))
+    q, _ = np.linalg.qr(rng.standard_normal((m, m)))
+    h = (q * lam) @ q.T
+    h = 0.5 * (h + h.T)
+    u0 = q.copy()
+    rc, _ = np.linalg.qr(rng.standard_normal((nc, nc)))
+    u0[:, :nc] = u0[:, :nc] @ rc          # fully mix the run's subspace
+    skew = 1e-5 * rng.standard_normal((m, m))
+    u0 = u0 @ np.linalg.qr(np.eye(m) + skew - skew.T)[0]
+    w0 = np.sort(np.diag(u0.T @ h @ u0))
+    w, u = eigh_newton(jnp.asarray(h), warm=(jnp.asarray(w0),
+                                             jnp.asarray(u0)))
+    w, u = np.asarray(w), np.asarray(u)
+    scale = np.abs(lam).max()
+    assert np.abs(h @ u - u * w[None, :]).max() < 1e-12 * scale
+    assert np.abs(u.T @ u - np.eye(m)).max() < 1e-12
+    assert np.abs(np.sort(w) - lam).max() < 1e-12 * scale
+
+
 def test_eigh_newton_identityish(rng):
     """Fully degenerate spectrum: every slot is one cluster."""
     m = 96
