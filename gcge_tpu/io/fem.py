@@ -117,6 +117,41 @@ def cube_fem_laplacian(nx: int, dtype=np.float64):
     return assemble_p1(verts, tets, on_bnd, dtype=dtype)
 
 
+def random_delaunay_mesh(n_points: int, seed: int = 0):
+    """Unstructured tet mesh: Delaunay triangulation of quasi-random points
+    in the unit cube (plus the 8 corners so the hull is the cube).
+
+    This produces a GENUINELY irregular sparsity pattern — vertex degrees
+    vary, neighbors land on no lattice — standing in for the SuiteSparse
+    production matrices of the reference's benchmark rig
+    (``/root/reference/test/submit.sh:9-15``; SiO2 etc. are not fetchable in
+    a zero-egress image).  Points are jittered-grid (not iid uniform) so tet
+    quality stays bounded and the assembled stiffness matrix is not
+    dominated by sliver elements.
+
+    Returns ``(verts, tets, dirichlet_mask)`` ready for
+    :func:`assemble_p1`."""
+    from scipy.spatial import Delaunay
+
+    rng = np.random.default_rng(seed)
+    g = int(round(n_points ** (1 / 3)))
+    side = np.linspace(0.0, 1.0, g + 1)
+    zz, yy, xx = np.meshgrid(side, side, side, indexing="ij")
+    pts = np.stack([xx.ravel(), yy.ravel(), zz.ravel()], axis=1)
+    h = 1.0 / g
+    jitter = rng.uniform(-0.45 * h, 0.45 * h, pts.shape)
+    interior = np.all((pts > 1e-12) & (pts < 1 - 1e-12), axis=1)
+    pts = pts + jitter * interior[:, None]     # boundary vertices stay put
+    tri = Delaunay(pts)
+    tets = tri.simplices.astype(np.int64)
+    # drop degenerate tets (qhull can emit near-flat boundary slivers)
+    p = pts[tets]
+    vol6 = np.abs(np.linalg.det(p[:, 1:] - p[:, :1]))
+    tets = tets[vol6 > 1e-12 * h ** 3]
+    on_bnd = np.any((pts <= 1e-12) | (pts >= 1 - 1e-12), axis=1)
+    return pts, tets, on_bnd
+
+
 def load_albert_mesh(path: str):
     """Read an ALBERT/ALBERTA macro-triangulation file (the format of the
     reference's ``data/cube4.dat``: 125 vertices / 384 tets of the unit

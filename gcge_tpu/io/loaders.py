@@ -82,3 +82,26 @@ def save_petsc_binary(path: str, rows, cols, vals, shape):
         row_nnz.astype(">i4").tofile(f)
         cols.astype(">i4").tofile(f)
         vals.astype(">f8").tofile(f)
+
+
+def write_ccs_binary(path: str, rows, cols, vals, n: int):
+    """Write a CSC matrix in the plain binary format ``native/ref_bench.c``
+    reads (``-matA``/``-matB``): int64 n, int64 nnz, int64 j_col[n+1],
+    int32 i_row[nnz], f64 data[nnz].  Used to hand the reference library the
+    SAME matrices the TPU bench solves (BASELINE.md: reference numbers must
+    be measured, not cited)."""
+    import numpy as np
+
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    vals = np.asarray(vals, np.float64)
+    order = np.lexsort((rows, cols))        # CSC: sort by column, then row
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    j_col = np.zeros(n + 1, np.int64)
+    np.add.at(j_col, cols + 1, 1)
+    j_col = np.cumsum(j_col)
+    with open(path, "wb") as f:
+        np.asarray([n, len(vals)], np.int64).tofile(f)
+        j_col.astype(np.int64).tofile(f)
+        rows.astype(np.int32).tofile(f)
+        vals.tofile(f)

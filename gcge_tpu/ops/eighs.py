@@ -286,7 +286,7 @@ def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
                 nblk: int | None = None, polish_sweeps: int = 4, warm=None,
                 warm_dtype: str = "auto", passes: int | None = None,
                 mesh=None, cluster_first: bool | None = None,
-                out: str = "replicated"):
+                out: str = "replicated", warm_h1=None):
     """Eigendecomposition of symmetric ``h`` for large m (ascending).
 
     Device-accurate on emulated-f64 TPUs like :func:`eigh_jacobi` but at
@@ -413,7 +413,17 @@ def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
         return jnp.maximum(8.0 * off0, (64.0 * eps) * scale)
 
     def refine(u, h1, off_floor):
-        """Masked Newton refinement (stage 1)."""
+        """Masked Newton refinement (stage 1).
+
+        Returns the BEST state seen, not the last: on spectra with wide
+        near-degenerate runs the iteration is a repeller — the second-order
+        error terms scale with the run WIDTH while the corrections scale
+        with the (much smaller) gap, so a step can grow the coupling by
+        orders of magnitude (measured: 2.4e-8 -> 4.6e-5 in two steps on a
+        100-wide 1e-6-spaced run).  The divergence guard stops the loop,
+        and the best-state rollback discards the damaged iterates; the
+        stall-escalation stage below then closes the run with a wide block
+        eigh."""
         gap_tol = gap_tol_of(h1)
 
         def masked_off(h1):
@@ -423,12 +433,16 @@ def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
             return jnp.max(jnp.abs(jnp.where(mask, h1, 0.0)))
 
         def step(st):
-            u, h1, k, _ = st
+            u, h1, k, _, bu, bh1, boff = st
+            off = masked_off(h1)
+            better = off < boff
+            bu = jnp.where(better, u, bu)
+            bh1 = jnp.where(better, h1, bh1)
+            boff = jnp.minimum(off, boff)
             d = jnp.diagonal(h1)
             delta = d[None, :] - d[:, None]      # delta[j, i] = d_i - d_j
             mask = jnp.abs(delta) > gap_tol
             e = jnp.where(mask, h1 / jnp.where(mask, delta, 1.0), 0.0)
-            off = jnp.max(jnp.abs(jnp.where(mask, h1, 0.0)))
             # trust cap on the WHOLE correction: the per-entry bound
             # |E| <= 1/8 does not bound ||E||_2 when many pairs sit just
             # past gap_tol, and u(I + E) with a large E runs away faster
@@ -443,12 +457,12 @@ def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
             # to first order; this removes the second-order drift)
             g = _cols(gram(u, u))
             u = _cols(_cols(u) @ (1.5 * eye - 0.5 * g))
-            return u, h1_of(u), k + 1, off
+            return u, h1_of(u), k + 1, off, bu, bh1, boff
 
         off_entry = masked_off(h1)
 
         def keep_going(st):
-            _, h1, k, _ = st
+            _, h1, k, _, _, _, _ = st
             off = masked_off(h1)
             # divergence guard: large near-gap_tol clusters make the
             # iteration a repeller (each step amplifies the masked coupling
@@ -459,19 +473,31 @@ def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
             # means every further step is destructive: stop and hand off.
             return (k < iters) & (off > off_floor) & (off < 8.0 * off_entry)
 
-        u, h1, _, _ = jax.lax.while_loop(
+        u, h1, _, _, bu, bh1, boff = jax.lax.while_loop(
             keep_going, step,
-            (u, h1, jnp.int32(0), jnp.full((), jnp.inf, h.dtype)))
+            (u, h1, jnp.int32(0), jnp.full((), jnp.inf, h.dtype),
+             u, h1, jnp.full((), jnp.inf, h.dtype)))
+        off_fin = masked_off(h1)
+        worse = off_fin > boff
+        u = jnp.where(worse, bu, u)
+        h1 = jnp.where(worse, bh1, h1)
         return u, h1, gap_tol
 
-    def cluster_rotate(u, h1, gap_tol, phase=0, c=None, nblk_=None):
+    def cluster_rotate(u, h1, gap_tol, phase=0, c=None, nblk_=None,
+                       min_len=2, by_len=False):
         """Batched mean-shifted block eighs on near-degenerate runs
         (stage 2).  Returns the rotated ``(u, w)``.
 
         ``phase`` offsets the cap-split boundaries of over-cap runs (split
         at ``pos0 % c == phase`` instead of 0); ``c``/``nblk_`` override the
         block size and block budget (the over-cap fix-up below re-runs this
-        stage with blocks wide enough to hold a whole run)."""
+        stage with blocks wide enough to hold a whole run).  ``min_len``
+        restricts block selection to segments with at least that many
+        members; ``by_len`` orders the selected blocks by DESCENDING segment
+        length instead of by index — the fix-up uses both so its limited
+        block budget lands on the over-cap runs rather than on whichever
+        already-resolved tight clusters happen to come first in the
+        spectrum."""
         d = jnp.diagonal(h1)
         if c is None:
             c = cap
@@ -488,8 +514,13 @@ def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
         ones = jnp.ones((m,), jnp.int32)
         seg_len = jax.ops.segment_sum(ones, seg, num_segments=m)
         len_at = jnp.take(seg_len, seg)
-        multi_start = b & (len_at >= 2)
-        starts = jnp.nonzero(multi_start, size=nblk_, fill_value=m)[0]
+        multi_start = b & (len_at >= max(2, min_len))
+        if by_len:
+            pri = jnp.where(multi_start, len_at, 0)
+            cand = jnp.argsort(-pri)[:nblk_]
+            starts = jnp.where(jnp.take(pri, cand) > 0, cand, m)
+        else:
+            starts = jnp.nonzero(multi_start, size=nblk_, fill_value=m)[0]
         valid_blk = starts < m
         lens = jnp.where(
             valid_blk,
@@ -529,8 +560,19 @@ def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
                            mode="drop")
         return u, w
 
-    h1 = h1_of(u)
+    if out not in ("replicated", "cols"):
+        raise ValueError(f"out must be 'replicated' or 'cols', got {out!r}")
+    if passes < 1:
+        raise ValueError(f"eigh_newton needs passes >= 1, got {passes}")
+    if warm_h1 is not None and warm is None:
+        raise ValueError("warm_h1 requires warm")
+
+    # ``warm_h1``: the caller can supply u0^T h u0 analytically when the
+    # warm start's structure makes it exact (GCG's Rayleigh-Ritz block
+    # warm start does) — skipping the O(m^3) entry Gram.
+    h1 = _cols(warm_h1) if warm_h1 is not None else h1_of(u)
     w = jnp.diagonal(h1)
+    gap_tol = gap_tol_of(h1)
     if cluster_first is None:
         # coarse warm starts only: with an f64-quality warm start gap_tol
         # sits far below the spacing (singleton clusters) and the extra
@@ -558,65 +600,72 @@ def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
         if p + 1 < passes:
             h1 = h1_of(u)
 
-    if cap < m:
-        # Over-cap fix-up: a near-degenerate run LONGER than ``cap`` is
-        # split into sub-blocks, and neither stage can finish it — the
-        # batched eighs cannot remove the coupling ACROSS split boundaries
-        # and refine skips those pairs too (gap < gap_tol), so the result
-        # plateaus at the cluster-width scale (measured: 1.2e-5 eigenvalue
-        # error on a 100-wide cluster of 1e-6-spaced values at cap=64).
-        # Staggered/tournament block-Jacobi sweeps do NOT converge here:
-        # on a near-degenerate run each block eigh is an arbitrary basis
-        # re-scramble (degenerate perturbation theory), so per-block
-        # rotations conserve the cross-block mass — simulated stall at
-        # ~0.5x the entry coupling after 24 sweeps.  The only closing move
-        # is a block WIDE enough to hold the whole run: when the final
-        # pre-rotation h1 shows an over-cap run, re-run the cluster stage
-        # with c = min(512, m) (the emulated-f64 device eigh compiles to
-        # ~768 on this runtime — see F32_WARM_MIN_M), one mean-shifted
-        # eigh per run.  Runs wider than 512 keep the width-scale plateau
-        # (documented limitation).  The detection reuses the existing h1
-        # diagonal (no extra O(m^3) work); the fix-up body runs only when
-        # taken (lax.cond).
-        d_det = jnp.diagonal(h1)
-        gaps_det = jnp.concatenate(
-            [jnp.full((1,), 2 * gap_tol, h.dtype), d_det[1:] - d_det[:-1]])
-        b0_det = gaps_det > gap_tol
-        seg_det = jnp.cumsum(b0_det.astype(jnp.int32)) - 1
-        len_det = jax.ops.segment_sum(
-            jnp.ones((m,), jnp.int32), seg_det, num_segments=m)
-        overcap = jnp.max(len_det) > cap
-        c2 = min(512, m)
-        nblk2 = max(2, min(8, -(-m // c2) + 1))
+    # ------------------------------------------------------------------
+    # Stall-escalation closing stage.  Two distinct failure modes leave the
+    # main passes with coupling above the floor, and both are closed by the
+    # same move:
+    #
+    # * an over-cap near-degenerate run was SPLIT at the ``cap`` boundary —
+    #   the batched eighs cannot remove cross-split coupling (each block
+    #   eigh is an arbitrary re-scramble of a degenerate subspace; per-block
+    #   rotations conserve cross-block mass — staggered/tournament sweeps
+    #   measured to stall at ~0.5x entry coupling after 24 sweeps);
+    # * the Newton refinement hit its repeller on a run WIDER than its gaps
+    #   (second-order terms scale with run width, not gap) and rolled back,
+    #   leaving the run's coupling untouched, with the adaptive gap_tol too
+    #   SMALL to even see the run as a cluster (measured: 100-wide
+    #   1e-6-spaced run, warm coupling 2.4e-8 -> gap_tol 1.9e-7 -> no
+    #   cluster detected, 2e-4 eigenvalue plateau).
+    #
+    # The closing move: while the total coupling sits above the re-entrant
+    # floor, ESCALATE the gap tolerance (x32 per round), gather the widest
+    # near-degenerate runs into blocks wide enough to hold them whole
+    # (c = min(512, m) — the emulated-f64 device eigh compiles to ~768 on
+    # this runtime, see F32_WARM_MIN_M), exactly diagonalize, then
+    # re-refine at the re-entrant floor.  Runs wider than 512 keep the
+    # width-scale plateau (documented limitation — raise `cap`/use more
+    # devices there); the progress guard stops the loop when an iteration
+    # fails to shrink the coupling.  The common path pays one stale-h1
+    # check; the body runs only when taken (lax.cond).
+    c2 = min(512, m)
+    nblk2 = max(1, min(8, m // 2))
 
-        def _intra_off(h1c, gt):
-            dd = jnp.diagonal(h1c)
-            delta = dd[None, :] - dd[:, None]
-            msk = (jnp.abs(delta) <= gt) & (offmask > 0)
-            return jnp.max(jnp.abs(jnp.where(msk, h1c, 0.0)))
+    def _tot_off(h1c):
+        return jnp.max(jnp.abs(h1c * offmask))
 
-        def _fixup(args):
-            u, w = args
+    def _closing(args):
+        u, w = args
 
-            def body(st):
-                u, w, h1c, k = st
-                gt = gap_tol_of(h1c)
-                u, w = cluster_rotate(
-                    u, h1c, gt,
-                    phase=jnp.where(k % 2 == 0, 0, c2 // 2),
-                    c=c2, nblk_=nblk2)
-                return u, w, h1_of(u), k + 1
+        def body(st):
+            u, w, h1c, gt_prev, _, k = st
+            gt = jnp.maximum(gap_tol_of(h1c), 32.0 * gt_prev)
+            off_before = _tot_off(h1c)
+            # widest runs first (by_len): tight already-resolved clusters
+            # the escalated tolerance re-qualifies cannot starve the
+            # offending runs of the block budget
+            u, w = cluster_rotate(u, h1c, gt, c=c2, nblk_=nblk2,
+                                  by_len=True)
+            u, h1c, _ = refine(u, h1_of(u), off_floor_reent)
+            w = jnp.diagonal(h1c)
+            return u, w, h1c, gt, off_before, k + 1
 
-            def cond_f(st):
-                _, _, h1c, k = st
-                return (k < 3) & (
-                    _intra_off(h1c, gap_tol_of(h1c)) > off_floor_reent)
+        def cond_f(st):
+            _, _, h1c, gt_prev, off_prev, k = st
+            off = _tot_off(h1c)
+            return (k < 3) & (off > off_floor_reent) & \
+                (off < 0.5 * off_prev) & (gt_prev < scale)
 
-            u, w, _, _ = jax.lax.while_loop(
-                cond_f, body, (u, w, h1_of(u), jnp.int32(0)))
-            return u, w
+        u, w, _, _, _, _ = jax.lax.while_loop(
+            cond_f, body,
+            (u, w, h1_of(u), gap_tol, jnp.full((), jnp.inf, h.dtype),
+             jnp.int32(0)))
+        return u, w
 
-        u, w = jax.lax.cond(overcap, _fixup, lambda a: a, (u, w))
+    # stale-h1 trigger: an overestimate of the fresh coupling (the final
+    # cluster rotation only removed coupling), so it can only false-POSITIVE
+    # into _closing, whose own fresh check then exits immediately
+    u, w = jax.lax.cond(_tot_off(h1) > off_floor_reent,
+                        _closing, lambda a: a, (u, w))
 
     order = jnp.argsort(w)
     u_out = jnp.take(u, order, axis=1)
@@ -655,7 +704,8 @@ def _host_eigh(h):
     )
 
 
-def eigh(h, backend: str = "auto", mesh=None):
+def eigh(h, backend: str = "auto", mesh=None, warm=None, warm_h1=None,
+         cluster_first=None, passes=None):
     """Symmetric eigendecomposition, ascending.
 
     backend:
@@ -671,6 +721,10 @@ def eigh(h, backend: str = "auto", mesh=None):
     devices — the spectrum-sliced parallel-``dsyevx`` analogue (see
     :func:`eigh_newton`).  Other backends ignore it (their work is already
     negligible or replicated by design).
+
+    ``warm``/``warm_h1``/``cluster_first``/``passes`` (newton path only):
+    warm start forwarded to :func:`eigh_newton` — GCG supplies its
+    structural Rayleigh-Ritz warm start this way.
     """
     if backend == "auto":
         if jax.default_backend() == "tpu" and h.dtype == jnp.float64:
@@ -682,5 +736,6 @@ def eigh(h, backend: str = "auto", mesh=None):
     if backend == "jacobi":
         return eigh_jacobi(h)
     if backend == "newton":
-        return eigh_newton(h, mesh=mesh)
+        return eigh_newton(h, mesh=mesh, warm=warm, warm_h1=warm_h1,
+                           cluster_first=cluster_first, passes=passes)
     return safe_eigh(h)

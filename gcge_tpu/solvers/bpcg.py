@@ -144,12 +144,20 @@ def block_pcg_t(
     params: BlockPCGParams = BlockPCGParams(),
     active0: jax.Array | None = None,
     psum_axis: str | None = None,
+    norm_b: jax.Array | None = None,
+    precond=None,
 ):
     """Transposed-layout block CG: all arrays are ``(m, n)`` (columns of the
     mathematical multivector live on ROWS; the grid index is the last,
     lane-friendly axis).  This is the layout of the Pallas DIA kernel
     (``ops/spmm_pallas.py``) — running the whole CG loop here makes the inner
-    solve transpose-free.  Semantics identical to :func:`block_pcg`."""
+    solve transpose-free.  Semantics identical to :func:`block_pcg`,
+    including the ``tol_type='user'``/``norm_b`` stopping rule
+    (``ops_lin_sol.c:186-192``) and the ``precond`` hook (``R -> M^{-1} R``
+    in the SAME (m, n) layout) — the reference composes an external solver
+    as a BPCG preconditioner via ``user_defined_multi_linear_solver = 2``
+    (``ops_eig_sol_gcg.c:584-618``), and the mixed-precision inner solve
+    must compose the same way."""
     m = bt.shape[0]
     dtype = bt.dtype
     if active0 is None:
@@ -163,41 +171,52 @@ def block_pcg_t(
 
     if params.tol_type == "rel":
         nb = jnp.sqrt(dots(bt, bt))
+    elif params.tol_type == "user":
+        assert norm_b is not None, "tol_type='user' requires norm_b"
+        nb = jnp.abs(norm_b).astype(dtype)
     else:
         nb = jnp.ones((m,), dtype=dtype)
 
+    def apply_m(r):
+        return r if precond is None else precond(r)
+
     r = bt - matvec_t(x0t)
     r = jnp.where(active0[:, None], r, 0.0)
-    rho = dots(r, r)
-    init_res = jnp.sqrt(rho)
+    z = apply_m(r)
+    rho = dots(r, z)                  # = r.r unpreconditioned
+    res2 = rho if precond is None else dots(r, r)
+    init_res = jnp.sqrt(res2)
     active = active0 & (init_res > params.tol * nb)
     rate = jnp.asarray(params.rate, dtype)
     tol = jnp.asarray(params.tol, dtype)
 
     def cond(st):
-        niter, x, r, p, rho_prev, rho_cur, active = st
+        niter, x, r, z, p, rho_prev, rho_cur, res, active = st
         return (niter < params.max_iter) & jnp.any(active)
 
     def body(st):
-        niter, x, r, p, rho_prev, rho_cur, active = st
+        niter, x, r, z, p, rho_prev, rho_cur, res, active = st
         beta = jnp.where((niter > 0) & active & (rho_prev > 0),
                          rho_cur / jnp.where(rho_prev > 0, rho_prev, 1.0), 0.0)
-        p = jnp.where(active[:, None], r + beta[:, None] * p, 0.0)
+        p = jnp.where(active[:, None], z + beta[:, None] * p, 0.0)
         w = matvec_t(p)
         ptw = dots(p, w)
         alpha = jnp.where(active & (ptw != 0),
                           rho_cur / jnp.where(ptw != 0, ptw, 1.0), 0.0)
         x = x + alpha[:, None] * p
         r = r - alpha[:, None] * w
-        rho_next = dots(r, r)
-        res = jnp.sqrt(rho_next)
+        z = apply_m(r)
+        rho_next = dots(r, z)
+        res2 = rho_next if precond is None else dots(r, r)
+        res = jnp.sqrt(res2)
         still = active & (res > rate * init_res) & (res > tol * nb)
-        return (niter + 1, x, r, p, rho_cur, rho_next, still)
+        return (niter + 1, x, r, z, p, rho_cur, rho_next, res, still)
 
-    st0 = (jnp.int32(0), x0t, r, jnp.zeros_like(r), rho, rho, active)
-    niter, x, r, p, rho_prev, rho_cur, active = jax.lax.while_loop(cond, body, st0)
-    return x, BlockPCGInfo(niters=niter, final_res=jnp.sqrt(rho_cur),
-                           init_res=init_res)
+    st0 = (jnp.int32(0), x0t, r, z, jnp.zeros_like(r), rho, rho, init_res,
+           active)
+    niter, x, r, z, p, rho_prev, rho_cur, res, active = \
+        jax.lax.while_loop(cond, body, st0)
+    return x, BlockPCGInfo(niters=niter, final_res=res, init_res=init_res)
 
 
 def pcg(matvec, b: jax.Array, x0: jax.Array, max_iter=50, rate=1e-2, tol=1e-12,

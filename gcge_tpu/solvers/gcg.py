@@ -72,6 +72,13 @@ class GCGParams:
     nev_init: int = 0                 # 0 -> nev_max (single static shape)
     max_iter: int = 500               # numIterMax
     gap_min: float = 0.01             # multiplicity-cluster backoff
+    # cap on the gapMin backoff distance — the reference's multiMax
+    # (maximum assumed eigenvalue multiplicity, asserted <= block_size at
+    # ops_eig_sol_gcg.c:1280, CLI -gcge_max_multi :1743): the backoff from
+    # the first unconverged column never exceeds multi_max positions, so a
+    # spectrum with gaps all below gap_min cannot stall nevConv at 0.
+    # 0 -> auto (= block_size).
+    multi_max: int = 0
     tol_abs: float = 1e-1             # tol[0]
     tol_rel: float = 1e-8             # tol[1]
     # W inner solve (compW_*)
@@ -156,6 +163,11 @@ class GCGParams:
     # supported by the axon PJRT runtime).  This replaces the reference's MPI
     # spectrum-sliced dsyevx (ops_eig_sol_gcg.c:1084-1189).
     rr_backend: str = "auto"
+    # warm-start the iteration Rayleigh-Ritz eigensolve from the projected
+    # matrix's block structure (see _rr_struct_warm): 'auto'/'struct' = on
+    # for the large-m newton path, 'off' = always cold.  The initial RR is
+    # always cold (X is not yet a Ritz basis there).
+    rr_warm: str = "auto"
 
     def resolved(self, n: int) -> "GCGParams":
         """Fill auto defaults following the reference test driver
@@ -170,6 +182,11 @@ class GCGParams:
         assert nev_max + 2 * bs <= n, (
             f"subspace {nev_max}+2*{bs} exceeds problem size {n}"
         )
+        multi_max = self.multi_max or bs
+        assert multi_max <= bs, (
+            f"multi_max {multi_max} > block_size {bs} (reference asserts "
+            f"multiMax <= block_size, ops_eig_sol_gcg.c:1280)"
+        )
         return GCGParams(
             **{
                 **self.__dict__,
@@ -177,6 +194,7 @@ class GCGParams:
                 "block_size": bs,
                 "nev_max": nev_max,
                 "nev_init": nev_init,
+                "multi_max": multi_max,
             }
         )
 
@@ -245,14 +263,61 @@ def _big_expand(v, c, prec: str):
     return v @ c
 
 
-def _eigh(h, backend: str, mesh=None):
+def _eigh(h, backend: str, mesh=None, warm=None, warm_h1=None,
+          cluster_first=None, passes=None):
     """Projected-problem eigensolve; see :mod:`gcge_tpu.ops.eighs` for why
     plain device eigh is not enough on emulated-f64 TPUs.  When a mesh is
     given, the large-m Newton path partitions its work over the devices (the
     spectrum-sliced-``dsyevx`` analogue, ``ops_eig_sol_gcg.c:1084-1189``)."""
     from gcge_tpu.ops.eighs import eigh as eigh_impl
 
-    return eigh_impl(h, backend, mesh=mesh)
+    return eigh_impl(h, backend, mesh=mesh, warm=warm, warm_h1=warm_h1,
+                     cluster_first=cluster_first, passes=passes)
+
+
+def _rr_struct_warm(h_eig, size_x: int, bs: int):
+    """Structural warm start for the Rayleigh-Ritz eigensolve.
+
+    The projected matrix assembled by :func:`_rayleigh_ritz` is nearly
+    block-diagonal: its X-block is EXACTLY ``diag(lambda)`` (X is the Ritz
+    basis), the X-P coupling is exactly zero, and the X-W coupling is
+    ``X^T A W = (B X L + R)^T W = R^T W`` — **residual-sized** per column,
+    because W is B-orthogonalized against V.  So
+    ``U0 = blockdiag(I, eigvecs(trailing 2bs block))`` diagonalizes
+    everything except residual-scale couplings, which
+    :func:`~gcge_tpu.ops.eighs.eigh_newton`'s refinement contracts
+    quadratically.  This replaces the m x m device-eigh warm start (the
+    dominant projected-eigensolve cost at production nev — PERFORMANCE.md
+    measured 539 ms/call at m=480) with one (2bs)^2 eigh, and because the
+    block structure is exact, ``U0^T H U0`` is assembled ANALYTICALLY —
+    skipping the O(m^3) entry Gram as well.  The TPU answer to what the
+    reference bought with warm ``dsyevx`` ranges over the active subspace
+    (``ops_eig_sol_gcg.c:925-1252`` projects out converged columns).
+
+    Returns ``(d0, u0, h1)`` sorted ascending — the contract
+    ``eigh_newton(warm=(d0, u0), warm_h1=h1)`` expects.
+    """
+    from gcge_tpu.ops.eighs import jacobi_polish, safe_eigh
+
+    m = size_x + 2 * bs
+    t = h_eig[size_x:, size_x:]
+    wt0, qt0 = safe_eigh(t)
+    # polish: the emulated-f64 device eigh's backtransform is only
+    # f32-accurate (ops.eighs module docstring); at 2bs x 2bs this is cheap
+    wt, qt = jacobi_polish(t, wt0, qt0, sweeps=2)
+    lam_x = jnp.diagonal(h_eig)[:size_x]
+    d0 = jnp.concatenate([lam_x, wt])
+    perm = jnp.argsort(d0)
+    u0 = (jnp.zeros((m, m), h_eig.dtype)
+          .at[jnp.arange(size_x), jnp.arange(size_x)].set(1.0)
+          .at[size_x:, size_x:].set(qt))
+    c_xt = h_eig[:size_x, size_x:] @ qt        # (size_x, 2bs) — small GEMM
+    h1 = (jnp.zeros((m, m), h_eig.dtype)
+          .at[jnp.arange(m), jnp.arange(m)].set(d0)
+          .at[:size_x, size_x:].set(c_xt)
+          .at[size_x:, :size_x].set(c_xt.T))
+    return (jnp.take(d0, perm), jnp.take(u0, perm, axis=1),
+            jnp.take(jnp.take(h1, perm, axis=0), perm, axis=1))
 
 
 @partial(jax.jit, static_argnames=("size_x", "bs", "rr_backend", "gemm_prec",
@@ -405,13 +470,23 @@ def _compute_w(a_op, b_op, v, ritz, ss_eval, act_idx, act_cnt, sigma,
 
         stage_cg = cg if refine <= 1 else BlockPCGParams(
             **{**cg.__dict__, "max_iter": -(-cg.max_iter // refine)})
+        precond_t = None
+        if precond is not None:
+            # compose the (f64, (n,m)-layout) preconditioner — e.g. an AMG
+            # V-cycle from bamg_preconditioner — with the transposed f32 CG:
+            # the reference freely composes its external preconditioner with
+            # BPCG (flag=2, ops_eig_sol_gcg.c:584-618), so the mixed path
+            # must too.  The cast/transpose cost is negligible next to one
+            # V-cycle.
+            def precond_t(rt):
+                return precond(rt.T.astype(v.dtype)).astype(jnp.float32).T
         w = xact
         niters = jnp.int32(0)
         for _ in range(refine):
             r = (rhs - shifted(w)) * fmask[None, :]
             rt = r.T.astype(jnp.float32)
             d, info = block_pcg_t(mv32_t, rt, jnp.zeros_like(rt), stage_cg,
-                                  active0=colmask)
+                                  active0=colmask, precond=precond_t)
             w = w + d.T.astype(v.dtype)
             niters = niters + info.niters
         rfin = (rhs - shifted(w)) * fmask[None, :]
@@ -444,10 +519,10 @@ def _compute_w(a_op, b_op, v, ritz, ss_eval, act_idx, act_cnt, sigma,
 
 
 @partial(jax.jit, static_argnames=("size_x", "bs", "rr_backend", "gemm_prec",
-                                   "mesh"))
+                                   "mesh", "rr_warm"))
 def _rayleigh_ritz(a_op, v, h_pp, ss_eval, p_cnt, w_cnt, size_x: int, bs: int,
                    rr_backend: str = "auto", gemm_prec: str = "f64",
-                   mesh=None):
+                   mesh=None, rr_warm: bool = False):
     """Assemble the projected matrix and solve the small eigenproblem.
 
     Reference ``ComputeRayleighRitz`` (``ops_eig_sol_gcg.c:925-1252``):
@@ -484,7 +559,17 @@ def _rayleigh_ritz(a_op, v, h_pp, ss_eval, p_cnt, w_cnt, size_x: int, bs: int,
     h = h * fvalid[None, :] * fvalid[:, None]
     gersh = jnp.max(jnp.sum(jnp.abs(h), axis=1)) + 1.0
     h_eig = h + jnp.diag((1.0 - fvalid) * gersh)
-    w, c = _eigh(h_eig, rr_backend, mesh)
+    from gcge_tpu.ops.eighs import NEWTON_MIN_M
+    use_warm = rr_warm and (rr_backend == "newton" or (
+        rr_backend == "auto" and m >= NEWTON_MIN_M
+        and jax.default_backend() == "tpu"
+        and jnp.dtype(v.dtype) == jnp.float64))
+    if use_warm:
+        d0, u0, h1w = _rr_struct_warm(h_eig, size_x, bs)
+        w, c = _eigh(h_eig, "newton", mesh, warm=(d0, u0), warm_h1=h1w,
+                     cluster_first=False)
+    else:
+        w, c = _eigh(h_eig, rr_backend, mesh)
     act_tot = size_x + p_cnt + w_cnt
     lam_pad = jnp.take(w, act_tot - 1)
     ss_eval_new = jnp.where(jnp.arange(m) < act_tot, w, lam_pad)
@@ -517,7 +602,8 @@ def _classify_traced(res, lam, tol_abs, tol_rel):
 
 
 def _check_convergence_traced(res, ss_eval, c0, scan_from, nev_conv_prev,
-                              size_x, bs, tol_abs, tol_rel, gap_min):
+                              size_x, bs, tol_abs, tol_rel, gap_min,
+                              multi_max):
     """Traced twin of _check_convergence_host (same semantics).
 
     ``res`` has ``cw >= bs`` entries (the checked window, reference
@@ -547,6 +633,8 @@ def _check_convergence_traced(res, ss_eval, c0, scan_from, nev_conv_prev,
     cand = jnp.where((ar1 <= idx) & gap_ok, ar1, 0)
     j = jnp.max(cand)
     j = jnp.minimum(j, idx)
+    # multiMax cap: never back off more than multi_max positions
+    j = jnp.maximum(j, jnp.maximum(idx - multi_max, 0))
     nev_conv = jnp.maximum(nev_conv_prev, c0 + j)
     # active window: unconverged checked columns first, then the sequential
     # tail beyond the window, capped at size_x
@@ -575,7 +663,8 @@ def _check_convergence_traced(res, ss_eval, c0, scan_from, nev_conv_prev,
                      "linear_solver", "max_steps", "tol_abs", "tol_rel",
                      "gap_min", "auto_shift", "shift", "rr_backend",
                      "mixed", "refine", "precond", "check_max",
-                     "orth_method", "orth_prec", "gemm_prec", "mesh"),
+                     "orth_method", "orth_prec", "gemm_prec", "mesh",
+                     "multi_max", "rr_warm"),
 )
 def _gcg_chunk(a_op, b_op, v, ritz, ss_eval, ss_evec, h,
                act_idx, act_cnt, nev_conv, num_iter, nev_target,
@@ -586,7 +675,8 @@ def _gcg_chunk(a_op, b_op, v, ritz, ss_eval, ss_evec, h,
                rr_backend: str = "auto", mixed: bool = False,
                refine: int = 2, precond=None, check_max: int = 0,
                orth_method: str = "evp", orth_prec: str = "auto",
-               gemm_prec: str = "f64", mesh=None):
+               gemm_prec: str = "f64", mesh=None, multi_max: int = 10**9,
+               rr_warm: bool = False):
     """Run up to ``max_steps`` full GCG iterations on device; exits early when
     ``nev_conv >= nev_target`` or the subspace stagnates (P and W deflated)."""
     m = size_x + 2 * bs
@@ -608,7 +698,7 @@ def _gcg_chunk(a_op, b_op, v, ritz, ss_eval, ss_evec, h,
         first = num_iter == 0
         nev_new, act_new, cnt_new = _check_convergence_traced(
             res, ss_eval, c0, scan_from, nev_conv, size_x, bs,
-            tol_abs, tol_rel, gap_min)
+            tol_abs, tol_rel, gap_min, multi_max)
         nev_conv = jnp.where(first, nev_conv, nev_new)
         ar = jnp.arange(bs, dtype=jnp.int32)
         act_first = jnp.minimum(nev_conv + ar, size_x - 1)
@@ -642,7 +732,7 @@ def _gcg_chunk(a_op, b_op, v, ritz, ss_eval, ss_evec, h,
         # ---- RayleighRitz + RitzVec ----
         ss_eval, ss_evec, h, ritz = _rayleigh_ritz(
             a_op, v, h_pp, ss_eval, p_cnt, w_cnt, size_x, bs, rr_backend,
-            gemm_prec, mesh)
+            gemm_prec, mesh, rr_warm)
 
         stall = jnp.where((p_cnt == 0) & (w_cnt == 0), stall + 1, jnp.int32(0))
         return (v, ritz, ss_eval, ss_evec, h, act_new, cnt_new, nev_conv,
@@ -684,7 +774,7 @@ def _classify(res, lam, tol_abs, tol_rel):
 
 def _check_convergence_host(
     res, ss_eval_h, c0_eff, scan_from, nev_conv_prev, size_x, bs,
-    tol_abs, tol_rel, gap_min,
+    tol_abs, tol_rel, gap_min, multi_max=None,
 ):
     """nevConv + active-window selection on host scalars.
 
@@ -701,8 +791,10 @@ def _check_convergence_host(
         if unconv[i]:
             idx = i
             break
-    # multiplicity-cluster backoff
-    while idx > 0:
+    # multiplicity-cluster backoff, capped at multi_max positions (the
+    # reference's multiMax — maximum assumed multiplicity, <= block_size)
+    idx_floor = 0 if multi_max is None else max(idx - multi_max, 0)
+    while idx > idx_floor:
         lam_prev = ss_eval_h[c0_eff + idx - 1]
         lam_cur = ss_eval_h[c0_eff + idx]
         denom = abs(lam_prev) if lam_prev != 0 else 1.0
@@ -809,6 +901,7 @@ def _gcg_solve_impl(a_op, b_op, params, x0, key, mesh) -> GCGResult:
         max_iter=p.cg_max_iter, rate=p.cg_rate, tol=p.cg_tol, tol_type=p.cg_tol_type
     )
     gemm_prec = _resolve_rr_gemm(p.rr_gemm_precision, dtype, mesh)
+    rr_warm = p.rr_warm in ("auto", "struct")
     orth_prec = p.orth_proj_precision
     if orth_prec == "auto" and jax.default_backend() == "tpu" \
             and jnp.dtype(dtype) == jnp.float64:
@@ -886,7 +979,7 @@ def _gcg_solve_impl(a_op, b_op, params, x0, key, mesh) -> GCGResult:
                 p.linear_solver, p.fuse, p.tol_abs, p.tol_rel, p.gap_min,
                 p.cg_auto_shift, p.cg_shift, p.rr_backend, p.cg_mixed,
                 p.cg_refine, p.linear_precond, p.check_max, p.orth_method,
-                orth_prec, gemm_prec, mesh,
+                orth_prec, gemm_prec, mesh, p.multi_max, rr_warm,
             )
             nev_conv = int(nev_conv_d)
             num_iter = int(num_iter_d)
@@ -954,7 +1047,7 @@ def _gcg_solve_impl(a_op, b_op, params, x0, key, mesh) -> GCGResult:
             ss_eval_h = np.asarray(ss_eval)
             nev_conv, act_idx, act_cnt = _check_convergence_host(
                 res_h, ss_eval_h, c0_eff, scan_from, nev_conv, size_x, bs,
-                p.tol_abs, p.tol_rel, p.gap_min,
+                p.tol_abs, p.tol_rel, p.gap_min, p.multi_max,
             )
             if p.verbose:
                 first_unconv = nev_conv if nev_conv < size_x else size_x - 1
@@ -1044,7 +1137,7 @@ def _gcg_solve_impl(a_op, b_op, params, x0, key, mesh) -> GCGResult:
         t0 = time.perf_counter()
         ss_eval, ss_evec, h, ritz = _rayleigh_ritz(
             a_op, v, h_pp, ss_eval, p_cnt, w_cnt, size_x, bs, p.rr_backend,
-            gemm_prec, mesh,
+            gemm_prec, mesh, rr_warm,
         )
         jax.block_until_ready(ritz)
         timers["compRR"] += time.perf_counter() - t0

@@ -28,6 +28,7 @@ _FLAG_MAP = {
     "-blockSize": ("block_size", int),
     "-nevInit": ("nev_init", int),
     "-gcge_min_gap": ("gap_min", float),
+    "-gcge_max_multi": ("multi_max", int),
     "-gcge_max_niter": ("max_iter", int),
     "-gcge_abs_tol": ("tol_abs", float),
     "-gcge_rel_tol": ("tol_rel", float),
@@ -45,7 +46,6 @@ _FLAG_MAP = {
 
 # accepted for compatibility; recorded in `extras`, no TPU-side effect
 _COMPAT_FLAGS = {
-    "-gcge_max_multi": int,
     "-gcge_given_nevec": int,
     "-gcge_user_defined_multi_lin_sol": int,
     "-gcge_initX_orth_method": str,
@@ -128,6 +128,7 @@ def print_usage(printer=print):
     printer(f" -gcge_abs_tol   <f>: absolute residual tolerance (default {d.tol_abs})")
     printer(f" -gcge_rel_tol   <f>: relative residual tolerance (default {d.tol_rel})")
     printer(f" -gcge_min_gap   <f>: multiplicity cluster gap    (default {d.gap_min})")
+    printer(f" -gcge_max_multi <i>: max multiplicity (backoff cap, default blockSize)")
     printer(f" -gcge_compW_cg_max_iter <i>: inner CG iterations (default {d.cg_max_iter})")
     printer(f" -gcge_compW_cg_rate <f>: inner CG reduction rate (default {d.cg_rate})")
     printer(f" -gcge_compW_cg_tol  <f>: inner CG tolerance      (default {d.cg_tol})")

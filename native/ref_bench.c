@@ -65,15 +65,45 @@ static double wtime(void)
 	return ts.tv_sec + 1e-9 * ts.tv_nsec;
 }
 
+/* Load a CSC matrix from the simple binary format written by
+ * benchmarks/irregular.py (gcge_tpu.io.loaders.write_ccs_binary):
+ *   int64 n, int64 nnz, int64 j_col[n+1], int32 i_row[nnz], f64 data[nnz]
+ * Lets the reference measure the SAME irregular matrices the TPU bench
+ * solves (the reference rig's SuiteSparse files are not fetchable here). */
+static CCSMAT load_ccs(const char *path)
+{
+	FILE *f = fopen(path, "rb");
+	if (!f) { fprintf(stderr, "cannot open %s\n", path); exit(1); }
+	long long n = 0, nnz = 0, j;
+	if (fread(&n, 8, 1, f) != 1 || fread(&nnz, 8, 1, f) != 1) exit(1);
+	CCSMAT a;
+	a.nrows = (int)n;
+	a.ncols = (int)n;
+	a.j_col = (int *)malloc((n + 1) * sizeof(int));
+	a.i_row = (int *)malloc(nnz * sizeof(int));
+	a.data = (double *)malloc(nnz * sizeof(double));
+	long long *jc = (long long *)malloc((n + 1) * sizeof(long long));
+	if (fread(jc, 8, n + 1, f) != (size_t)(n + 1)) exit(1);
+	for (j = 0; j <= n; ++j) a.j_col[j] = (int)jc[j];
+	free(jc);
+	if (fread(a.i_row, 4, nnz, f) != (size_t)nnz) exit(1);
+	if (fread(a.data, 8, nnz, f) != (size_t)nnz) exit(1);
+	fclose(f);
+	return a;
+}
+
 int main(int argc, char *argv[])
 {
 	int nx = 54, nev = 50, max_iter = 500, cg_max_iter = 30;
+	const char *file_a = NULL, *file_b = NULL;
 	int i;
 	for (i = 1; i + 1 < argc; i += 2) {
 		if (!strcmp(argv[i], "-nx")) nx = atoi(argv[i + 1]);
 		if (!strcmp(argv[i], "-nev")) nev = atoi(argv[i + 1]);
 		if (!strcmp(argv[i], "-maxIter")) max_iter = atoi(argv[i + 1]);
 		if (!strcmp(argv[i], "-cgIter")) cg_max_iter = atoi(argv[i + 1]);
+		if (!strcmp(argv[i], "-matA")) file_a = argv[i + 1];
+		if (!strcmp(argv[i], "-matB")) file_b = argv[i + 1];
 	}
 
 	OPS *ops = NULL;
@@ -81,8 +111,14 @@ int main(int argc, char *argv[])
 	OPS_CCS_Set(ops);
 	OPS_Setup(ops);
 
-	CCSMAT a = create_27pt(nx);
+	CCSMAT a = file_a ? load_ccs(file_a) : create_27pt(nx);
+	CCSMAT b;
 	void *mat_a = (void *)&a;
+	void *mat_b = NULL;
+	if (file_b) {
+		b = load_ccs(file_b);
+		mat_b = (void *)&b;
+	}
 
 	/* production parameterization (submit.sh:34-44): bs = nev/5,
 	 * nevMax = 2*nev, nevInit = nevMax, tol = {1e-1, 1e-8} */
@@ -118,7 +154,7 @@ int main(int argc, char *argv[])
 		ops);
 
 	double t0 = wtime();
-	ops->EigenSolver(mat_a, NULL, eval, evec, 0, &nev_conv, ops);
+	ops->EigenSolver(mat_a, mat_b, eval, evec, 0, &nev_conv, ops);
 	double wall = wtime() - t0;
 
 	int num_iter = ((GCGSolver *)ops->eigen_solver_workspace)->numIter;

@@ -129,3 +129,50 @@ def test_gcg_with_preconditioner(rng):
     assert res.nev_conv >= 5
     np.testing.assert_allclose(res.eval[:5], laplacian_1d_eigs(n)[:5],
                                rtol=1e-7)
+
+
+def test_block_pcg_t_preconditioned(rng):
+    """Transposed-layout CG composes with a preconditioner (parity with
+    block_pcg — required so the mixed-precision inner solve can be
+    AMG-preconditioned, reference flag=2 semantics)."""
+    from gcge_tpu.solvers.bpcg import block_pcg_t
+
+    n, m = 400, 3
+    d = jnp.asarray(10.0 ** rng.uniform(0, 4, n))
+    off = jnp.asarray(rng.standard_normal(n - 1) * 0.01)
+    a = jnp.diag(d) + jnp.diag(off, 1) + jnp.diag(off, -1)
+    x_true = jnp.asarray(rng.standard_normal((m, n)))
+    bt = x_true @ a.T                       # (m, n) rows are columns
+    params = BlockPCGParams(max_iter=150, rate=0.0, tol=1e-10, tol_type="rel")
+    x0 = jnp.zeros((m, n))
+    mv_t = lambda xt: xt @ a.T
+    _, info_plain = block_pcg_t(mv_t, bt, x0, params)
+    dinv = 1.0 / d
+    x_pc, info_pc = block_pcg_t(mv_t, bt, x0, params,
+                                precond=lambda rt: rt * dinv[None, :])
+    assert int(info_pc.niters) < int(info_plain.niters) / 2
+    err = jnp.abs(x_pc - x_true).max() / jnp.abs(x_true).max()
+    assert float(err) < 1e-5
+
+
+def test_block_pcg_t_user_norm(rng):
+    """tol_type='user' + norm_b parity for the transposed layout
+    (``ops_lin_sol.c:186-192``)."""
+    from gcge_tpu.solvers.bpcg import block_pcg_t
+
+    a, _ = laplacian_1d(100)
+    aj = jnp.asarray(a)
+    x_true = rng.standard_normal((3, 100))
+    bt = jnp.asarray(x_true @ a.T)
+    # huge user norms make tol*nb exceed the initial residual -> no iterations
+    big = jnp.full((3,), 1e30)
+    params = BlockPCGParams(max_iter=50, rate=0.0, tol=1e-10, tol_type="user")
+    x, info = block_pcg_t(lambda xt: xt @ aj.T, bt, jnp.zeros((3, 100)),
+                          params, norm_b=big)
+    assert int(info.niters) == 0
+    # realistic user norms behave like 'rel'
+    nb = jnp.sqrt(jnp.sum(bt * bt, axis=1))
+    x, info = block_pcg_t(lambda xt: xt @ aj.T, bt, jnp.zeros((3, 100)),
+                          BlockPCGParams(max_iter=300, rate=0.0, tol=1e-10,
+                                         tol_type="user"), norm_b=nb)
+    np.testing.assert_allclose(np.asarray(x), x_true, rtol=1e-6, atol=1e-8)

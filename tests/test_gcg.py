@@ -334,3 +334,53 @@ def test_gcg_rr_gemm_osgemm_precision():
                                        fuse=4, rr_gemm_precision="osgemm"))
     assert rg.nev_conv >= nev
     np.testing.assert_allclose(rg.eval[:nev], exact[:nev], rtol=1e-7)
+
+
+def test_multi_max_caps_backoff():
+    """The gapMin backoff never walks back more than multi_max positions
+    (the reference's multiMax, asserted <= block_size at
+    ``ops_eig_sol_gcg.c:1280``; CLI ``-gcge_max_multi`` ``:1743``)."""
+    from gcge_tpu.solvers.gcg import (_check_convergence_host,
+                                      _check_convergence_traced)
+    import jax.numpy as jnp
+
+    cw, bs, size_x = 8, 4, 40
+    # eigenvalues with ALL relative gaps below gap_min=0.01 -> uncapped
+    # backoff walks to 0
+    ss_eval = 1.0 + 0.001 * np.arange(size_x + 2 * bs)
+    res = np.full(cw, 1e-12)
+    res[5] = 1.0                     # first unconverged at window index 5
+    nc_uncap, _, _ = _check_convergence_host(
+        res, ss_eval, 0, 0, 0, size_x, bs, 1e-1, 1e-8, 0.01, None)
+    assert nc_uncap == 0             # full backoff: cluster swallows all
+    nc_cap, _, _ = _check_convergence_host(
+        res, ss_eval, 0, 0, 0, size_x, bs, 1e-1, 1e-8, 0.01, 2)
+    assert nc_cap == 3               # backed off exactly multi_max=2 from 5
+    # traced twin agrees
+    nc_t, _, _ = _check_convergence_traced(
+        jnp.asarray(res), jnp.asarray(ss_eval), jnp.int32(0), jnp.int32(0),
+        jnp.int32(0), size_x, bs, 1e-1, 1e-8, 0.01, 2)
+    assert int(nc_t) == 3
+
+
+def test_multi_max_e2e_clustered_spectrum():
+    """E2E regression on an artificially clustered spectrum: every relative
+    gap is below gap_min, so the uncapped backoff would hold nevConv at 0
+    until the whole window converged; with multi_max the count advances
+    early and the solve still returns the right eigenvalues."""
+    n, nev = 300, 4
+    lam = 1.0 + 0.001 * np.arange(n)        # all relative gaps ~1e-3 < 0.01
+    a = np.diag(lam)
+    rng = np.random.default_rng(7)
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    a = q @ a @ q.T
+    a = 0.5 * (a + a.T)
+    params = GCGParams(nev=nev, block_size=3, multi_max=1, max_iter=120,
+                       verbose=0, cg_max_iter=30, tol_rel=1e-7)
+    result = gcg_solve(DenseOperator(jnp.asarray(a)), None, params)
+    assert result.nev_conv >= nev
+    np.testing.assert_allclose(np.sort(result.eval[:nev]), lam[:nev],
+                               rtol=1e-6)
+    # the capped backoff must have advanced nevConv before full convergence
+    partial = [c for (_, c) in result.history if 0 < c < nev]
+    assert partial, "nevConv never advanced partially - cap ineffective?"
