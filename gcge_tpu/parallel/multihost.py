@@ -45,8 +45,13 @@ def bootstrap(coordinator_address: str | None = None,
     ``MPI_Init`` (``test/main.c``); collectives afterwards are XLA's, not
     MPI's.
     """
+    # IMPORTANT: do not touch jax.process_count()/jax.devices() here — any
+    # backend query initializes XLA, after which distributed.initialize()
+    # refuses to run.  Probe the distributed runtime state directly.
     try:
-        already = jax.process_count() > 1 or coordinator_address is None
+        from jax._src import distributed as _dist
+
+        already = _dist.global_state.client is not None
     except Exception:
         already = False
     if coordinator_address is not None and not already:

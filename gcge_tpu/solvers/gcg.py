@@ -445,50 +445,94 @@ def _compute_w(a_op, b_op, v, ritz, ss_eval, act_idx, act_cnt, sigma,
         # steps the iterate stalls at the f32 floor and extra steps are
         # wasted, while the mid-solve f64 residual refresh restores progress.
         from gcge_tpu.ops.operators import (DiaDF64Operator, DiaOperator,
-                                            DiagOperator)
+                                            DiagOperator, HybridOperator,
+                                            SparseOperator)
 
-        assert isinstance(a_op, DiaOperator), "cg_mixed requires a DIA operator"
         assert b_op is None or isinstance(b_op, DiagOperator), \
             "cg_mixed requires B = None or diagonal"
-        use_pallas = jax.default_backend() == "tpu"
-        # df64 operators already store the f32 hi plane — no reconstruct+cast
-        a32 = a_op.values_hi if isinstance(a_op, DiaDF64Operator) \
-            else a_op.values.astype(jnp.float32)
-        offs = a_op.offsets
         b32 = None if b_op is None else b_op.d.astype(jnp.float32)
         s32 = sigma.astype(jnp.float32)
-
-        def mv32_t(yt):
-            if use_pallas:
-                from gcge_tpu.ops.spmm_pallas import dia_spmm_pallas_t
-
-                y = dia_spmm_pallas_t(a32, offs, yt, interpret=False)
-            else:
-                y = DiaOperator(a32, offs, a_op.n_cols).matvec_t(yt)
-            byt = yt if b32 is None else b32[None, :] * yt
-            return y + s32 * byt
-
         stage_cg = cg if refine <= 1 else BlockPCGParams(
             **{**cg.__dict__, "max_iter": -(-cg.max_iter // refine)})
-        precond_t = None
-        if precond is not None:
-            # compose the (f64, (n,m)-layout) preconditioner — e.g. an AMG
-            # V-cycle from bamg_preconditioner — with the transposed f32 CG:
-            # the reference freely composes its external preconditioner with
-            # BPCG (flag=2, ops_eig_sol_gcg.c:584-618), so the mixed path
-            # must too.  The cast/transpose cost is negligible next to one
-            # V-cycle.
-            def precond_t(rt):
-                return precond(rt.T.astype(v.dtype)).astype(jnp.float32).T
         w = xact
         niters = jnp.int32(0)
-        for _ in range(refine):
-            r = (rhs - shifted(w)) * fmask[None, :]
-            rt = r.T.astype(jnp.float32)
-            d, info = block_pcg_t(mv32_t, rt, jnp.zeros_like(rt), stage_cg,
-                                  active0=colmask, precond=precond_t)
-            w = w + d.T.astype(v.dtype)
-            niters = niters + info.niters
+        if isinstance(a_op, DiaOperator):
+            # DIA: transposed layout — the Pallas kernel's native layout,
+            # so the whole CG loop runs transpose-free
+            use_pallas = jax.default_backend() == "tpu"
+            # df64 operators already store the f32 hi plane — no
+            # reconstruct+cast
+            a32 = a_op.values_hi if isinstance(a_op, DiaDF64Operator) \
+                else a_op.values.astype(jnp.float32)
+            offs = a_op.offsets
+
+            def mv32_t(yt):
+                if use_pallas:
+                    from gcge_tpu.ops.spmm_pallas import dia_spmm_pallas_t
+
+                    y = dia_spmm_pallas_t(a32, offs, yt, interpret=False)
+                else:
+                    y = DiaOperator(a32, offs, a_op.n_cols).matvec_t(yt)
+                byt = yt if b32 is None else b32[None, :] * yt
+                return y + s32 * byt
+
+            precond_t = None
+            if precond is not None:
+                # compose the (f64, (n,m)-layout) preconditioner — e.g. an
+                # AMG V-cycle from bamg_preconditioner — with the transposed
+                # f32 CG: the reference freely composes its external
+                # preconditioner with BPCG (flag=2,
+                # ops_eig_sol_gcg.c:584-618), so the mixed path must too.
+                # The cast/transpose cost is negligible next to one V-cycle.
+                def precond_t(rt):
+                    return precond(rt.T.astype(v.dtype)).astype(jnp.float32).T
+            for _ in range(refine):
+                r = (rhs - shifted(w)) * fmask[None, :]
+                rt = r.T.astype(jnp.float32)
+                d, info = block_pcg_t(mv32_t, rt, jnp.zeros_like(rt),
+                                      stage_cg, active0=colmask,
+                                      precond=precond_t)
+                w = w + d.T.astype(v.dtype)
+                niters = niters + info.niters
+        else:
+            # ELL / Hybrid (irregular matrices): gather layout — keep the
+            # (n, m) orientation (row gathers; a lane-axis gather would be
+            # far slower) and run the f32 stages through plain block_pcg.
+            # The f64 gather SpMM measured ~2x slower than f32 on TPU, so
+            # the refinement structure pays the same way it does for DIA.
+            assert isinstance(a_op, (SparseOperator, HybridOperator)), \
+                f"cg_mixed: unsupported operator {type(a_op).__name__}"
+
+            def _to_f32(op):
+                if isinstance(op, HybridOperator):
+                    return HybridOperator(_to_f32(op.dia),
+                                          None if op.ell is None
+                                          else _to_f32(op.ell))
+                if isinstance(op, DiaDF64Operator):
+                    return DiaOperator(op.values_hi, op.offsets, op.n_cols)
+                if isinstance(op, DiaOperator):
+                    return DiaOperator(op.values.astype(jnp.float32),
+                                       op.offsets, op.n_cols)
+                return SparseOperator(op.values.astype(jnp.float32),
+                                      op.indices, op.n_cols)
+
+            a32 = _to_f32(a_op)
+
+            def mv32(y):
+                by = y if b32 is None else b32[:, None] * y
+                return a32.matvec(y) + s32 * by
+
+            precond32 = None
+            if precond is not None:
+                def precond32(r):
+                    return precond(r.astype(v.dtype)).astype(jnp.float32)
+            for _ in range(refine):
+                r = (rhs - shifted(w)) * fmask[None, :]
+                r32 = r.astype(jnp.float32)
+                d, info = block_pcg(mv32, r32, jnp.zeros_like(r32), stage_cg,
+                                    active0=colmask, precond=precond32)
+                w = w + d.astype(v.dtype)
+                niters = niters + info.niters
         rfin = (rhs - shifted(w)) * fmask[None, :]
         final_res = jnp.sqrt(col_dots(rfin, rfin))
     elif cg_order == 2:
