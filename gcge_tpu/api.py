@@ -90,6 +90,9 @@ def solve(
     method: str = "gcg",
     x0=None,
     params=None,
+    pas_sweeps: int = 2,
+    pas_final_sweeps: int = 16,
+    pas_cycles: int = 8,
     **kwargs: Any,
 ):
     """Compute the ``nev`` smallest eigenpairs of ``A x = lambda B x``.
@@ -112,7 +115,12 @@ def solve(
         (default 4).  Requires sparse ``a`` (and sparse/None ``b``).
     method : ``'gcg'`` (default) or ``'pas'`` — the multilevel Parallel
         Augmented Subspace solver (needs ``multigrid``; solves on the
-        coarsest grid and corrects down the hierarchy).
+        coarsest grid and corrects down the hierarchy).  Composes with
+        ``distribute`` (sharded fine level, replicated coarse levels).
+    pas_sweeps / pas_final_sweeps / pas_cycles : PAS knobs — correction+RR
+        sweeps per intermediate level / on the finest level, and AMG
+        V-cycles per correction (reference ``ops_eig_sol_pas.c`` exposes
+        the analogous per-level iteration counts).
     params : a prebuilt :class:`~gcge_tpu.solvers.gcg.GCGParams`; otherwise one
         is assembled from ``nev`` and ``**kwargs`` (e.g. ``block_size=...,
         tol_rel=..., max_iter=...`` — the mex argument list).
@@ -202,22 +210,25 @@ def solve(
             a_op, b_op, _ = pad_problem(a_op, b_op, n_rows_dev)
             a_op = shard_operator(a_op, mesh)
             b_op = shard_operator(b_op, mesh) if b_op is not None else None
-            if hier is not None and method != "pas":
+            if hier is not None:
                 from gcge_tpu.parallel.dist_mg import shard_hierarchy
                 from gcge_tpu.solvers.multigrid import bamg_preconditioner
 
                 if hier.levels[0].a_op.shape[0] % n_rows_dev == 0:
                     hier = shard_hierarchy(hier, mesh)
-                params = type(params)(**{
-                    **params.__dict__,
-                    "linear_precond": bamg_preconditioner(hier)})
+                if method != "pas":
+                    params = type(params)(**{
+                        **params.__dict__,
+                        "linear_precond": bamg_preconditioner(hier)})
 
     if method == "pas":
         from gcge_tpu.solvers.pas import pas_solve
 
         res = pas_solve(hier, params.nev, tol_rel=params.tol_rel,
-                        verbose=params.verbose, final_sweeps=16,
-                        bamg_cycles=8)
+                        verbose=params.verbose,
+                        sweeps_per_level=pas_sweeps,
+                        final_sweeps=pas_final_sweeps,
+                        bamg_cycles=pas_cycles)
     else:
         res = gcg_solve(a_op, b_op, params, x0=x0, mesh=mesh)
     evec = res.evec

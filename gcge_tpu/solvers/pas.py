@@ -23,6 +23,21 @@ TPU-native re-design:
   operator, ``:50-249``) is performed over the explicit span ``[X | N]``
   with one B-orthonormalization and a replicated ``eigh`` — algebraically the
   same subspace the PASMAT-GCG iterates in, without re-entering GCG.
+
+  **Why the explicit span instead of GCG on** :class:`AugmentedOperator`
+  (the reference's design, ``ops_eig_sol_pas.c:183-219``): the stacked
+  composite metric is only SEMI-definite — for ``s = [u; q]`` the B-inner
+  product is ``(Xp u + q)^T B (Xp u + q)``, which vanishes on the whole
+  subspace ``q = -Xp u``.  The reference runs GCG on that degenerate pencil
+  and relies on its rank-revealing orthogonalization to continually deflate
+  the null directions (``OrthXtoQ``'s aux-space B-solve, ``:391-532``,
+  exists to fight exactly this).  On TPU the explicit span gives the same
+  per-sweep subspace ``span[X | N]`` with a standard SPD metric, no
+  deflation fights, and static shapes; the repeated
+  correction+RR sweeps play the role of GCG's inner iterations on the
+  composite operator.  :class:`AugmentedOperator` is still exported (and
+  unit-tested) as the faithful PASMAT action for users building reference-
+  style composite algorithms.
 * Convergence is checked on the finest level only, as in the reference
   (``PAS``, ``:614-690``).
 """
@@ -192,12 +207,22 @@ def pas_solve(
 
     # work with a guard buffer of extra vectors so the nev-th mode is not
     # polluted by the unresolved spectrum above it (the reference carries
-    # nevMax = 2*nev for the same reason, test_eig_sol_pas.c)
+    # nevMax = 2*nev for the same reason, test_eig_sol_pas.c).  A caller's
+    # coarse_params.nev can only WIDEN the working block — never silently
+    # shrink it below the guard width (it sets the subspace every finer
+    # level inherits).
     nev_work = min(nev + max(2, nev // 2), lvls[top].a_op.shape[0] - 1)
 
     # ---- coarsest-grid eigensolve with GCG (ref :610-611) ----------------
     cp = coarse_params or GCGParams(nev=nev_work, verbose=0, max_iter=300)
+    if coarse_params is not None and coarse_params.nev:
+        nev_work = min(max(nev_work, coarse_params.nev),
+                       lvls[top].a_op.shape[0] - 1)
     if cp.nev != nev_work:
+        if verbose and coarse_params is not None:
+            print(f"PAS: widening coarse nev {cp.nev} -> {nev_work} "
+                  f"(guard buffer; pass coarse_params.nev >= {nev_work} "
+                  f"to control it)")
         cp = GCGParams(**{**cp.__dict__, "nev": nev_work})
     nev, nev_out = nev_work, nev
     res = gcg_solve(lvls[top].a_op, lvls[top].b_op, cp)

@@ -263,3 +263,45 @@ def test_eigsh_scipy_compatible(rng):
     import pytest
     with pytest.raises(ValueError):
         gcge_tpu.eigsh(a, k=3, which="LM")
+
+
+def test_api_pas_distributed():
+    """api.solve(method='pas', distribute=True): the PAS path must honor
+    the mesh (sharded fine level, replicated coarse) — round-1 ignored
+    `distribute` for PAS."""
+    import scipy.sparse as sps
+
+    from tests.conftest import laplacian_1d, laplacian_1d_eigs
+
+    n, nev = 512, 4
+    a, _ = laplacian_1d(n)
+    a_s = sps.csr_matrix(a)
+    lam, vec, nconv = gcge_tpu.solve(a_s, nev=nev, method="pas", multigrid=3,
+                            distribute=True, verbose=0, tol_rel=1e-7,
+                            pas_final_sweeps=10, pas_cycles=6)
+    assert nconv >= nev
+    np.testing.assert_allclose(lam[:nev], laplacian_1d_eigs(n)[:nev],
+                               rtol=1e-6)
+
+
+def test_api_pas_knobs_and_coarse_nev():
+    """PAS sweep knobs reach pas_solve, and an explicit coarse_params.nev
+    is honored (widened, never silently shrunk)."""
+    import scipy.sparse as sps
+
+    from gcge_tpu.solvers.gcg import GCGParams
+    from gcge_tpu.solvers.multigrid import build_hierarchy
+    from gcge_tpu.solvers.pas import pas_solve
+    from tests.conftest import laplacian_1d, laplacian_1d_eigs
+
+    n, nev = 400, 3
+    a, _ = laplacian_1d(n)
+    rows, cols = np.nonzero(a)
+    hier = build_hierarchy(rows, cols, a[rows, cols], n, max_levels=3)
+    # explicit wide coarse block: honored
+    cp = GCGParams(nev=12, verbose=0, max_iter=300)
+    res = pas_solve(hier, nev, coarse_params=cp, verbose=0,
+                    final_sweeps=10, bamg_cycles=6, tol_rel=1e-7)
+    assert res.nev_conv >= nev
+    np.testing.assert_allclose(res.eval, laplacian_1d_eigs(n)[:nev],
+                               rtol=1e-6)
