@@ -321,16 +321,36 @@ def _rr_struct_warm(h_eig, size_x: int, bs: int):
 
 
 @partial(jax.jit, static_argnames=("size_x", "bs", "rr_backend", "gemm_prec",
-                                   "mesh"))
+                                   "mesh", "chunk"),
+         donate_argnames=("v",))
 def _initial_rr(a_op, v, size_x: int, bs: int, rr_backend: str = "auto",
-                gemm_prec: str = "f64", mesh=None):
+                gemm_prec: str = "f64", mesh=None, chunk: int = 0):
     """First Rayleigh-Ritz on V = [X]: H = X^T A X, eigh, Ritz vectors.
 
     Reference: first ``ComputeRayleighRitz`` call with sizeX == sizeV
-    (``ops_eig_sol_gcg.c:992-1011``)."""
+    (``ops_eig_sol_gcg.c:992-1011``).
+
+    ``chunk > 0`` streams the ``A @ X`` application and the Gram in column
+    chunks so no second ``(n, size_x)`` array is ever materialized — the
+    huge-nev enabler: at nev = 400, n = 157k the unchunked program peaked
+    17.9 GB (f64 costs 32 B/element on this runtime) vs 15.75 GB HBM.
+    ``v`` is donated for the same reason."""
     m = size_x + 2 * bs
     x = v[:, :size_x]
-    if gemm_prec == "f64":
+    if chunk and size_x % chunk == 0:
+        n = v.shape[0]
+
+        def body(i, h_acc):
+            xc = jax.lax.dynamic_slice(v, (0, i * chunk), (n, chunk))
+            axc = a_op.matvec(xc)
+            hc = _big_gram(x, axc, gemm_prec) if gemm_prec != "f64" \
+                else block_inner(x, axc, "N")
+            return jax.lax.dynamic_update_slice(h_acc, hc, (0, i * chunk))
+
+        h_xx = jax.lax.fori_loop(0, size_x // chunk, body,
+                                 jnp.zeros((size_x, size_x), v.dtype))
+        h_xx = 0.5 * (h_xx + h_xx.T)
+    elif gemm_prec == "f64":
         h_xx = block_inner(x, a_op.matvec(x), "S")
     else:
         h_xx = _big_gram(x, a_op.matvec(x), gemm_prec)
@@ -359,7 +379,8 @@ def _residual_norms(a_op, b_op, ritz, ss_eval, c0, size_x: int, cw: int):
 
 
 @partial(jax.jit, static_argnames=("size_x", "bs", "zero_tol", "passes",
-                                   "orth_method", "gemm_prec"))
+                                   "orth_method", "gemm_prec"),
+         donate_argnames=("v",))
 def _compute_p(v, ss_evec, h, act_idx, act_cnt, size_x: int, bs: int,
                zero_tol: float, passes: int, orth_method: str = "evp",
                gemm_prec: str = "f64"):
@@ -397,6 +418,7 @@ def _compute_p(v, ss_evec, h, act_idx, act_cnt, size_x: int, bs: int,
     static_argnames=("size_x", "bs", "cg", "zero_tol", "passes", "cg_order",
                      "linear_solver", "mixed", "refine", "precond",
                      "orth_method", "orth_prec"),
+    donate_argnames=("v",),
 )
 def _compute_w(a_op, b_op, v, ritz, ss_eval, act_idx, act_cnt, sigma,
                size_x: int, bs: int, cg: BlockPCGParams, zero_tol: float,
@@ -621,7 +643,7 @@ def _rayleigh_ritz(a_op, v, h_pp, ss_eval, p_cnt, w_cnt, size_x: int, bs: int,
     return ss_eval_new, c, h, ritz
 
 
-@partial(jax.jit, static_argnames=("size_x",))
+@partial(jax.jit, static_argnames=("size_x",), donate_argnames=("v",))
 def _set_x(v, ritz, size_x: int):
     """ComputeX: copy the Ritz vectors into the X slots of V
     (``ops_eig_sol_gcg.c:458-471``)."""
@@ -709,6 +731,7 @@ def _check_convergence_traced(res, ss_eval, c0, scan_from, nev_conv_prev,
                      "mixed", "refine", "precond", "check_max",
                      "orth_method", "orth_prec", "gemm_prec", "mesh",
                      "multi_max", "rr_warm"),
+    donate_argnames=("v", "ritz", "ss_evec"),
 )
 def _gcg_chunk(a_op, b_op, v, ritz, ss_eval, ss_evec, h,
                act_idx, act_cnt, nev_conv, num_iter, nev_target,
@@ -991,9 +1014,15 @@ def _gcg_solve_impl(a_op, b_op, params, x0, key, mesh) -> GCGResult:
               p.orth_zero_tol, p.orth_passes, p.orth_method, orth_prec)
     m = size_x + 2 * bs
     v = _shard(jnp.zeros((n, m), dtype)).at[:, :size_x].set(_shard(x))
+    # stream the initial RR when X alone is GBs (huge-nev single-chip path;
+    # f64 costs 32 B/element on the axon runtime)
+    rr_chunk = 0
+    if n * size_x * 32 > 2e9:
+        rr_chunk = next((c for c in (128, 64, 32, 16, 8)
+                         if size_x % c == 0), 0)
     ss_eval, ss_evec, h, ritz, v = timed("compRR", _initial_rr, a_op, v,
                                           size_x, bs, p.rr_backend, gemm_prec,
-                                          mesh)
+                                          mesh, rr_chunk)
 
     nev_target = nev0 if size_x >= p.nev_max else min(2 * bs, nev0)
     nev_conv = 0
