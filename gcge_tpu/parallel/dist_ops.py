@@ -208,13 +208,51 @@ class RowShardedOperator(LinearOperator):
             bwd = [(i, (i - 1) % ndev) for i in range(ndev)]
 
             def f(*args):
+                # The PHG overlap pattern (``app_phg.c:292-359``:
+                # scatter-begin -> local SpMM -> scatter-end -> off-process
+                # accumulation), expressed as DATAFLOW: the interior SpMM
+                # consumes a ZERO halo so it carries no dependency on the
+                # ppermutes, and the halo contributions are separate small
+                # edge corrections — XLA's async collective-permute then
+                # overlaps the exchange with the (Pallas) interior kernel
+                # instead of serializing behind the window concatenation.
                 *vals, x_local = args
+                m = x_local.shape[1]
                 left = jax.lax.ppermute(x_local[ln - hl:], ROWS, fwd) \
-                    if hl else jnp.zeros((0, x_local.shape[1]), x_local.dtype)
+                    if hl else None
                 right = jax.lax.ppermute(x_local[:hr], ROWS, bwd) \
-                    if hr else jnp.zeros((0, x_local.shape[1]), x_local.dtype)
-                xw = jnp.concatenate([left, x_local, right], axis=0)
-                return apply_window(*vals, xw)
+                    if hr else None
+                xw0 = jnp.pad(x_local, ((hl, hr), (0, 0)))
+                y = apply_window(*vals, xw0)          # interior, halo-free
+                vmain = vals[0]                       # (ndiag, ln) [hi plane]
+                vlo = vals[1] if len(vals) > 1 else None
+
+                def vrow(d, sl):
+                    v = vmain[d, sl]
+                    if vlo is not None:
+                        v = v.astype(jnp.float64) + \
+                            vlo[d, sl].astype(jnp.float64)
+                    return v.astype(y.dtype)
+
+                # edge corrections: offsets crossing the left boundary touch
+                # only rows [0, -off), the right boundary rows [ln-off, ln)
+                dl = jnp.zeros((hl, m), y.dtype) if hl else None
+                dr = jnp.zeros((hr, m), y.dtype) if hr else None
+                for d, off in enumerate(offsets):
+                    if off < 0 and hl:
+                        k = -off
+                        dl = dl.at[:k].add(
+                            vrow(d, slice(0, k))[:, None]
+                            * left[hl - k:].astype(y.dtype))
+                    elif off > 0 and hr:
+                        dr = dr.at[hr - off:].add(
+                            vrow(d, slice(ln - off, ln))[:, None]
+                            * right[:off].astype(y.dtype))
+                if hl:
+                    y = y.at[:hl].add(dl)
+                if hr:
+                    y = y.at[ln - hr:].add(dr)
+                return y
         else:
             def f(*args):
                 *vals, x_local = args

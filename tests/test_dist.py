@@ -453,3 +453,31 @@ def test_distributed_gcg_newton_rr(mesh):
     assert res.nev_conv >= 5
     np.testing.assert_allclose(res.eval[:5], laplacian_1d_eigs(n)[:5],
                                rtol=1e-7)
+
+
+def test_halo_overlap_edge_corrections(mesh, rng):
+    """The overlap-form halo path (interior SpMM against a zero halo +
+    separate edge corrections, the PHG dataflow pattern) must be exact for
+    an ASYMMETRIC multi-diagonal band crossing several boundary offsets,
+    f64 and df64."""
+    from gcge_tpu.ops.operators import DiaDF64Operator, DiaOperator
+
+    n = 512
+    offsets = (-7, -3, -1, 0, 2, 5)
+    rng2 = np.random.default_rng(11)
+    vals = rng2.standard_normal((len(offsets), n))
+    # zero out entries pointing outside the global matrix
+    for d, off in enumerate(offsets):
+        if off < 0:
+            vals[d, :(-off)] = 0.0
+        else:
+            vals[d, n - off:] = 0.0
+    dia = DiaOperator(jnp.asarray(vals), offsets, n)
+    x = jnp.asarray(rng.standard_normal((n, 6)))
+    y_ref = np.asarray(dia.matvec(x))
+    y_d = np.asarray(shard_operator(dia, mesh).matvec(shard_rows(mesh, x)))
+    np.testing.assert_allclose(y_d, y_ref, rtol=1e-13, atol=1e-13)
+    dia64 = DiaDF64Operator.from_dia(dia)
+    y_d64 = np.asarray(
+        shard_operator(dia64, mesh).matvec(shard_rows(mesh, x)))
+    np.testing.assert_allclose(y_d64, y_ref, rtol=1e-12, atol=1e-12)
