@@ -55,6 +55,13 @@ def _round_up(x: int, m: int) -> int:
 # while staying well under physical VMEM.
 _VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=72 * 2**20)
 
+# Result-plane budget for the row-chunk guard below.  Round-1 used a
+# conservative 12 MB; with the 72 MB scoped-VMEM limit above, larger result
+# frames compile fine, and avoiding a row-chunk avoids RE-READING the value
+# planes per chunk (measured: the bs=10 df64 case ran 2 chunks and sat at
+# ~29 Gnnz/s, ~2x off its own traffic model).  Overridable for A/B sweeps.
+_RESULT_BUDGET = 28 * 2**20
+
 
 @functools.partial(jax.jit,
                    static_argnames=("offsets", "tn", "interpret", "hl"))
@@ -307,7 +314,7 @@ def dia_spmm_pallas_t_df64(vhi, vlo, offsets: tuple[int, ...], xt,
     # multivectors are column-chunked (each chunk re-reads the values — still
     # a clear win over the XLA path for up to a few chunks); beyond that the
     # value re-reads eat the advantage and the XLA shift path takes over.
-    max_rows = max((12 * 2**20 // (2 * 4 * n)) // 8 * 8, 0)
+    max_rows = max((_RESULT_BUDGET // (2 * 4 * n)) // 8 * 8, 0)
     if max_rows < 8 or -(-m // max_rows) > 4:
         from gcge_tpu.ops.operators import DiaOperator
 
@@ -347,7 +354,7 @@ def dia_spmm_pallas_t(values, offsets: tuple[int, ...], xt,
     m, nw = xt.shape
     n = nw - hl - hr
     sub = 8 if xt.dtype == jnp.float32 else 16
-    max_rows = max((12 * 2**20 // (xt.dtype.itemsize * n)) // sub * sub, 0)
+    max_rows = max((_RESULT_BUDGET // (xt.dtype.itemsize * n)) // sub * sub, 0)
     if max_rows < sub or -(-m // max_rows) > 4:
         from gcge_tpu.ops.operators import DiaOperator
 

@@ -1,0 +1,66 @@
+"""Windowed one-hot MXU SpMM kernel (ops/onehot_pallas.py) — interpret-mode
+correctness on irregular patterns (the SuiteSparse-class matrices the
+reference benchmarks with, ``/root/reference/test/submit.sh:9-15``)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sps
+
+from gcge_tpu.ops.onehot_pallas import OneHotOperator, pack_onehot
+
+
+def _random_banded(rng, n, k, band):
+    idx = np.clip(np.arange(n)[:, None] + rng.integers(-band, band + 1,
+                                                       (n, k)), 0, n - 1)
+    rows = np.repeat(np.arange(n), k)
+    cols = idx.reshape(-1)
+    vals = rng.standard_normal(n * k)
+    return rows, cols, vals
+
+
+@pytest.mark.parametrize("n,k,band,cfg", [
+    (1000, 7, 300, (256, 256, 128)),
+    (700, 5, 650, (128, 256, 128)),     # band wider than the tile
+    (513, 11, 80, (256, 512, 128)),     # n not a tile multiple
+])
+def test_onehot_matches_scipy(rng, n, k, band, cfg):
+    rows, cols, vals = _random_banded(rng, n, k, band)
+    rt, wt, jm = cfg
+    op = OneHotOperator.from_coo(rows, cols, vals, (n, n), r_tile=rt,
+                                 w_tile=wt, j_max=jm)
+    a = sps.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    x = rng.standard_normal((n, 6)).astype(np.float32)
+    y = np.asarray(op.matvec(jnp.asarray(x)))
+    y_ref = (a @ x.astype(np.float64)).astype(np.float32)
+    scale = np.abs(y_ref).max()
+    assert np.abs(y - y_ref).max() < 3e-6 * scale
+    # transposed entry agrees with the row-major one
+    yt = np.asarray(op.matvec_t(jnp.asarray(x.T)))
+    assert np.abs(yt.T - y).max() < 1e-6 * scale
+
+
+def test_onehot_oversized_groups_split(rng):
+    """A (tile, window) pair with more nonzeros than j_max must split into
+    several pairs and still be exact."""
+    n = 300
+    # all nonzeros inside one 256x256 tile-window corner
+    rows = rng.integers(0, 200, 1500)
+    cols = rng.integers(0, 200, 1500)
+    vals = rng.standard_normal(1500)
+    op = OneHotOperator.from_coo(rows, cols, vals, (n, n), j_max=64)
+    assert op.stats["pairs"] >= 1500 // 64
+    a = sps.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    x = rng.standard_normal((n, 3)).astype(np.float32)
+    y = np.asarray(op.matvec(jnp.asarray(x)))
+    y_ref = (a @ x.astype(np.float64)).astype(np.float32)
+    assert np.abs(y - y_ref).max() < 3e-6 * np.abs(y_ref).max()
+
+
+def test_pack_onehot_stats(rng):
+    rows, cols, vals = _random_banded(rng, 2000, 9, 500)
+    t, w, rl, cl, pv, n_pad, stats = pack_onehot(rows, cols, vals, 2000)
+    assert n_pad % 256 == 0
+    assert (np.diff(t) >= 0).all()          # sorted by tile
+    assert stats["fill"] == pytest.approx(
+        len(vals) / (stats["pairs"] * rl.shape[1]))
