@@ -85,28 +85,35 @@ def main():
     op = make_operator(r2, c2, av, (n, n))
     print("layout:", type(op).__name__, flush=True)
 
-    # SpMM throughput
+    # SpMM throughput (f64 gather path + the one-hot f32 planes if present)
     _sum = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
     for bs in (10, 40):
-        for dt in (jnp.float32, jnp.float64):
-            x = jnp.asarray(np.random.default_rng(0).standard_normal((n, bs)), dt)
-            if dt == jnp.float32:
-                opx = make_operator(r2, c2, av, (n, n), dtype=jnp.float32)
-            else:
-                opx = op
-            mv = jax.jit(lambda xx, o=opx: o.matvec(xx))
-            float(_sum(mv(x)))
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((n, bs)))
+        mv = jax.jit(lambda xx: op.matvec(xx))
+        float(_sum(mv(x)))
+        t0 = time.perf_counter()
+        for _ in range(10):
+            y = mv(x)
+        float(_sum(y))
+        dt_s = (time.perf_counter() - t0) / 10
+        print(f"spmm bs={bs} f64-ell: {dt_s*1e3:.2f} ms  "
+              f"{nnz/dt_s/1e9:.2f} Gnnz/s", flush=True)
+        if hasattr(op, "oh"):
+            xt32 = jnp.asarray(np.asarray(x).T, jnp.float32)
+            mvt = jax.jit(op.oh.matvec_t)
+            float(_sum(mvt(xt32)))
             t0 = time.perf_counter()
-            for _ in range(20):
-                y = mv(x)
+            for _ in range(10):
+                y = mvt(xt32)
             float(_sum(y))
-            dt_s = (time.perf_counter() - t0) / 20
-            print(f"spmm bs={bs} {jnp.dtype(dt).name}:"
-                  f" {dt_s*1e3:.2f} ms  {nnz/dt_s/1e9:.2f} Gnnz/s", flush=True)
+            dt_s = (time.perf_counter() - t0) / 10
+            print(f"spmm bs={bs} f32-onehot: {dt_s*1e3:.2f} ms  "
+                  f"{nnz/dt_s/1e9:.2f} Gnnz/s", flush=True)
 
     params = GCGParams(nev=NEV, block_size=max(NEV // 5, 1), max_iter=300,
                        verbose=1, cg_max_iter=30, fuse=10,
-                       cg_auto_shift=True)
+                       cg_mixed=os.environ.get("IRREG_MIXED", "1") == "1",
+                       cg_auto_shift=os.environ.get("IRREG_SHIFT", "1") == "1")
     t0 = time.perf_counter()
     res = gcg_solve(op, None, params)
     wall = time.perf_counter() - t0

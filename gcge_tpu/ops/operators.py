@@ -533,6 +533,38 @@ class HybridOperator(LinearOperator):
         return cls(dia, ell)
 
 
+@jax.tree_util.register_pytree_node_class
+class EllOneHotOperator(SparseOperator):
+    """Irregular operator: f64 gather-ELL + f32 one-hot planes.
+
+    The f64 gather path serves the accuracy-critical applications (residual
+    checks, Rayleigh-Ritz Grams, mixed-CG refreshes); the windowed one-hot
+    MXU kernel (:mod:`gcge_tpu.ops.onehot_pallas`) serves the f32 inner-CG
+    stages at ~3.5x the gather throughput.  This is the irregular-matrix
+    analogue of :class:`DiaDF64Operator`'s role for banded matrices."""
+
+    def __init__(self, values, indices, n_cols: int, oh):
+        super().__init__(values, indices, n_cols)
+        self.oh = oh
+
+    def tree_flatten(self):
+        return (self.values, self.indices, self.oh), (self.n_cols,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0], children[2])
+
+    @classmethod
+    def from_coo(cls, rows, cols, vals, shape, dtype=jnp.float64,
+                 r_tile: int = 256, w_tile: int = 256, j_max: int = 256):
+        from gcge_tpu.ops.onehot_pallas import OneHotOperator
+
+        base = SparseOperator.from_coo(rows, cols, vals, shape, dtype=dtype)
+        oh = OneHotOperator.from_coo(rows, cols, vals, shape, r_tile=r_tile,
+                                     w_tile=w_tile, j_max=j_max)
+        return cls(base.values, base.indices, base.n_cols, oh)
+
+
 def make_operator(rows, cols, vals, shape, dtype=jnp.float64,
                   max_diags: int = 128, hybrid_cover: float = 0.85,
                   hybrid_max_ell_width: int = 8, df64: bool | None = None):
@@ -578,4 +610,8 @@ def make_operator(rows, cols, vals, shape, dtype=jnp.float64,
             if df64:
                 hyb = HybridOperator(DiaDF64Operator.from_dia(hyb.dia), hyb.ell)
             return hyb
+    # genuinely irregular pattern: gather-ELL, plus the one-hot MXU planes
+    # for the f32 inner-CG stages when they can be the fast path (TPU f64)
+    if jax.default_backend() == "tpu" and jnp.dtype(dtype) == jnp.float64:
+        return EllOneHotOperator.from_coo(rows, cols, vals, shape, dtype=dtype)
     return SparseOperator.from_coo(rows, cols, vals, shape, dtype=dtype)

@@ -467,8 +467,8 @@ def _compute_w(a_op, b_op, v, ritz, ss_eval, act_idx, act_cnt, sigma,
         # steps the iterate stalls at the f32 floor and extra steps are
         # wasted, while the mid-solve f64 residual refresh restores progress.
         from gcge_tpu.ops.operators import (DiaDF64Operator, DiaOperator,
-                                            DiagOperator, HybridOperator,
-                                            SparseOperator)
+                                            DiagOperator, EllOneHotOperator,
+                                            HybridOperator, SparseOperator)
 
         assert b_op is None or isinstance(b_op, DiagOperator), \
             "cg_mixed requires B = None or diagonal"
@@ -478,7 +478,30 @@ def _compute_w(a_op, b_op, v, ritz, ss_eval, act_idx, act_cnt, sigma,
             **{**cg.__dict__, "max_iter": -(-cg.max_iter // refine)})
         w = xact
         niters = jnp.int32(0)
-        if isinstance(a_op, DiaOperator):
+        if isinstance(a_op, EllOneHotOperator):
+            # irregular fast path: the windowed one-hot MXU kernel runs the
+            # f32 stages in its native TRANSPOSED layout (~3.5x the gather
+            # SpMM); f64 residual refreshes stay on the gather-ELL path
+            oh = a_op.oh
+
+            def mv32_t(yt):
+                y = oh.matvec_t(yt)
+                byt = yt if b32 is None else b32[None, :] * yt
+                return y + s32 * byt
+
+            precond_t = None
+            if precond is not None:
+                def precond_t(rt):
+                    return precond(rt.T.astype(v.dtype)).astype(jnp.float32).T
+            for _ in range(refine):
+                r = (rhs - shifted(w)) * fmask[None, :]
+                rt = r.T.astype(jnp.float32)
+                d, info = block_pcg_t(mv32_t, rt, jnp.zeros_like(rt),
+                                      stage_cg, active0=colmask,
+                                      precond=precond_t)
+                w = w + d.T.astype(v.dtype)
+                niters = niters + info.niters
+        elif isinstance(a_op, DiaOperator):
             # DIA: transposed layout — the Pallas kernel's native layout,
             # so the whole CG loop runs transpose-free
             use_pallas = jax.default_backend() == "tpu"

@@ -64,3 +64,24 @@ def test_pack_onehot_stats(rng):
     assert (np.diff(t) >= 0).all()          # sorted by tile
     assert stats["fill"] == pytest.approx(
         len(vals) / (stats["pairs"] * rl.shape[1]))
+
+
+def test_gcg_mixed_with_onehot_operator(rng):
+    """End-to-end: cg_mixed routes the f32 CG stages through the one-hot
+    kernel when the operator carries one-hot planes (irregular fast path),
+    and still converges to the analytic spectrum."""
+    from gcge_tpu.ops.operators import EllOneHotOperator
+    from gcge_tpu.solvers.gcg import GCGParams, gcg_solve
+    from tests.conftest import laplacian_1d, laplacian_1d_eigs
+
+    n = 400
+    a, _ = laplacian_1d(n)
+    rows, cols = np.nonzero(a)
+    op = EllOneHotOperator.from_coo(rows, cols, a[rows, cols], a.shape,
+                                    r_tile=128, w_tile=128, j_max=128)
+    p = GCGParams(nev=6, block_size=3, max_iter=80, verbose=0,
+                  cg_mixed=True, cg_refine=2, cg_max_iter=30)
+    res = gcg_solve(op, None, p)
+    assert res.nev_conv >= 6
+    np.testing.assert_allclose(res.eval[:6], laplacian_1d_eigs(n)[:6],
+                               rtol=1e-7)
