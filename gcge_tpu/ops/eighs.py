@@ -661,11 +661,16 @@ def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
              jnp.int32(0)))
         return u, w
 
-    # stale-h1 trigger: an overestimate of the fresh coupling (the final
-    # cluster rotation only removed coupling), so it can only false-POSITIVE
-    # into _closing, whose own fresh check then exits immediately
-    u, w = jax.lax.cond(_tot_off(h1) > off_floor_reent,
-                        _closing, lambda a: a, (u, w))
+    # stale-h1 trigger: h1 predates the final cluster_rotate.  A block
+    # rotation removes intra-block coupling but can CONCENTRATE row mass
+    # into couplings between rotated and outside columns (up to ~sqrt(cap)x
+    # the pre-rotation max), so the stale read can sit below the floor while
+    # the fresh coupling is above it.  Widening the trigger by sqrt(c2)
+    # makes it a true overestimate again; a false positive costs one fresh
+    # Gram inside _closing (whose cond checks fresh coupling and exits).
+    u, w = jax.lax.cond(
+        _tot_off(h1) * np.sqrt(float(c2)) > off_floor_reent,
+        _closing, lambda a: a, (u, w))
 
     order = jnp.argsort(w)
     u_out = jnp.take(u, order, axis=1)

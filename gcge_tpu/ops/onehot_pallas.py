@@ -48,6 +48,46 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _pack_groups(rows, cols, n, r_tile: int, w_tile: int, j_max: int):
+    """Shared group analysis: sort COO by (tile, window) and chunk to j_max.
+
+    Returns the sort ``order`` plus per-group metadata; used by both the
+    cheap :func:`pack_onehot_stats` estimator and the full packer."""
+    rows = np.asarray(rows); cols = np.asarray(cols)
+    n_pad = _round_up(n, max(r_tile, w_tile))
+    t = rows // r_tile
+    w = cols // w_tile
+    order = np.lexsort((cols, w, t))
+    t, w = t[order], w[order]
+    key = t.astype(np.int64) * (n_pad // w_tile + 1) + w
+    new_grp = np.r_[True, key[1:] != key[:-1]]
+    grp_start = np.flatnonzero(new_grp)
+    grp_len = np.diff(np.r_[grp_start, len(key)])
+    # every row tile needs >= 1 pair or its output block is never visited
+    # (and so never zero-initialized): an all-padded dummy pair per empty
+    # tile is appended by the packer
+    n_tiles = n_pad // r_tile
+    empty_tiles = np.setdiff1d(np.arange(n_tiles), t[grp_start])
+    n_chunks = -(-grp_len // j_max)
+    P = int(n_chunks.sum()) + len(empty_tiles)
+    return order, t, w, grp_start, grp_len, n_chunks, empty_tiles, n_pad, P
+
+
+def pack_onehot_stats(rows, cols, n, r_tile: int = 256, w_tile: int = 256,
+                      j_max: int = 128) -> dict:
+    """Pair count / fill WITHOUT allocating the (P, j_max) pair arrays.
+
+    ``make_operator`` consults this before committing to the one-hot layout:
+    for scattered patterns (no RCM, wide bandwidth) P approaches nnz and the
+    pair arrays would cost many GB while the kernel's cost model
+    (``(W + R) * bs / fill`` MACs per nnz) collapses — the gather path must
+    stay the default there."""
+    *_, n_pad, P = _pack_groups(rows, cols, n, r_tile, w_tile, j_max)
+    fill = len(np.asarray(rows)) / max(P * j_max, 1)
+    bytes_pairs = P * j_max * 12 + P * 8
+    return {"pairs": P, "fill": fill, "bytes": bytes_pairs, "n_pad": n_pad}
+
+
 def pack_onehot(rows, cols, vals, n, r_tile: int = 256, w_tile: int = 256,
                 j_max: int = 128):
     """Host-side packing of COO triplets into one-hot pair blocks.
@@ -56,54 +96,41 @@ def pack_onehot(rows, cols, vals, n, r_tile: int = 256, w_tile: int = 256,
     sorted by row tile (so the kernel's output accumulation is sequential
     per tile) then by window (so x windows stream monotonically within a
     tile).  Oversized (t, w) groups are split into multiple pairs.
+    Fully vectorized (one fancy-indexed scatter per array — production
+    matrices have millions of groups, a Python loop took minutes).
     """
-    rows = np.asarray(rows); cols = np.asarray(cols)
     vals = np.asarray(vals, np.float32)
-    n_pad = _round_up(n, max(r_tile, w_tile))
-    t = rows // r_tile
-    w = cols // w_tile
-    order = np.lexsort((cols, w, t))
-    rows, cols, vals, t, w = (a[order] for a in (rows, cols, vals, t, w))
-    # group boundaries of (t, w)
-    key = t.astype(np.int64) * (n_pad // w_tile + 1) + w
-    new_grp = np.r_[True, key[1:] != key[:-1]]
-    grp_start = np.flatnonzero(new_grp)
-    grp_len = np.diff(np.r_[grp_start, len(key)])
-    # every row tile needs >= 1 pair or its output block is never visited
-    # (and so never zero-initialized): add an all-padded dummy pair per
-    # empty tile
-    n_tiles = n_pad // r_tile
-    empty_tiles = np.setdiff1d(np.arange(n_tiles), np.unique(t))
-    # split groups into chunks of j_max
-    n_chunks = -(-grp_len // j_max)
-    P = int(n_chunks.sum()) + len(empty_tiles)
-    t_ids = np.empty(P, np.int32)
-    w_ids = np.empty(P, np.int32)
+    (order, t, w, grp_start, grp_len, n_chunks, empty_tiles, n_pad,
+     P) = _pack_groups(rows, cols, n, r_tile, w_tile, j_max)
+    rows = np.asarray(rows)[order]
+    cols = np.asarray(cols)[order]
+    vals = vals[order]
+    nnz = len(vals)
+    # per-nnz pair index + slot: position within group, chunked by j_max
+    grp_id = np.repeat(np.arange(len(grp_len)), grp_len)
+    pos = np.arange(nnz) - grp_start[grp_id]
+    pair_base = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+    pair_of = (pair_base[grp_id] + pos // j_max).astype(np.int64)
+    slot = (pos % j_max).astype(np.int64)
+    n_real = int(n_chunks.sum())
+    t_ids = np.zeros(P, np.int32)
+    w_ids = np.zeros(P, np.int32)
     rloc = np.zeros((P, j_max), np.int32)
     cloc = np.zeros((P, j_max), np.int32)
     pvals = np.zeros((P, j_max), np.float32)
-    p = 0
-    for g0, gl, tg, wg in zip(grp_start, grp_len, t[grp_start], w[grp_start]):
-        for c0 in range(0, gl, j_max):
-            cl = min(j_max, gl - c0)
-            sl = slice(g0 + c0, g0 + c0 + cl)
-            t_ids[p] = tg
-            w_ids[p] = wg
-            rloc[p, :cl] = rows[sl] - tg * r_tile
-            cloc[p, :cl] = cols[sl] - wg * w_tile
-            # padded slots keep (0, 0, 0.0): they select x[w*W] into row 0
-            # with weight 0 — exact no-ops
-            pvals[p, :cl] = vals[sl]
-            p += 1
-    for tg in empty_tiles:
-        t_ids[p] = tg
-        w_ids[p] = 0
-        p += 1
+    t_ids[pair_of] = t
+    w_ids[pair_of] = w
+    rloc[pair_of, slot] = rows - t * r_tile
+    cloc[pair_of, slot] = cols - w * w_tile
+    # padded slots keep (0, 0, 0.0): they select x[w*W] into row 0 with
+    # weight 0 — exact no-ops
+    pvals[pair_of, slot] = vals
+    t_ids[n_real:] = empty_tiles
     # keep pairs sorted by tile after appending the dummies
     order_p = np.argsort(t_ids, kind="stable")
     t_ids, w_ids = t_ids[order_p], w_ids[order_p]
     rloc, cloc, pvals = rloc[order_p], cloc[order_p], pvals[order_p]
-    fill = len(vals) / max(P * j_max, 1)
+    fill = nnz / max(P * j_max, 1)
     stats = {"pairs": P, "fill": fill,
              "tiles": int(np.unique(t_ids).size)}
     return t_ids, w_ids, rloc, cloc, pvals, n_pad, stats

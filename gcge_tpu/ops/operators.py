@@ -567,7 +567,8 @@ class EllOneHotOperator(SparseOperator):
 
 def make_operator(rows, cols, vals, shape, dtype=jnp.float64,
                   max_diags: int = 128, hybrid_cover: float = 0.85,
-                  hybrid_max_ell_width: int = 8, df64: bool | None = None):
+                  hybrid_max_ell_width: int = 8, df64: bool | None = None,
+                  onehot_min_fill: float = 0.15):
     """Pick the best sparse layout for the pattern:
 
     * **DIA** when everything sits on few diagonals (stencils, RCM-banded);
@@ -611,7 +612,18 @@ def make_operator(rows, cols, vals, shape, dtype=jnp.float64,
                 hyb = HybridOperator(DiaDF64Operator.from_dia(hyb.dia), hyb.ell)
             return hyb
     # genuinely irregular pattern: gather-ELL, plus the one-hot MXU planes
-    # for the f32 inner-CG stages when they can be the fast path (TPU f64)
+    # when they can be the fast path (TPU f64).  Guard on the PREDICTED pair
+    # fill first (cheap, no pair-array allocation): for scattered patterns
+    # (no RCM, wide bandwidth) P approaches nnz — the pair arrays would cost
+    # many GB and the kernel's cost model ((W+R)*bs/fill MACs per nnz)
+    # collapses, so the gather path must stay the default there.
     if jax.default_backend() == "tpu" and jnp.dtype(dtype) == jnp.float64:
-        return EllOneHotOperator.from_coo(rows, cols, vals, shape, dtype=dtype)
+        from gcge_tpu.ops.onehot_pallas import pack_onehot_stats
+
+        st = pack_onehot_stats(rows, cols, shape[0], r_tile=256, w_tile=256,
+                               j_max=256)
+        nnz = len(np.asarray(vals))
+        if st["fill"] >= onehot_min_fill and st["bytes"] <= 8 * 12 * nnz:
+            return EllOneHotOperator.from_coo(rows, cols, vals, shape,
+                                              dtype=dtype)
     return SparseOperator.from_coo(rows, cols, vals, shape, dtype=dtype)

@@ -49,18 +49,28 @@ def bootstrap(coordinator_address: str | None = None,
     # backend query initializes XLA, after which distributed.initialize()
     # refuses to run.  Probe the distributed runtime state directly.
     try:
-        from jax._src import distributed as _dist
+        is_init = getattr(jax.distributed, "is_initialized", None)
+        if is_init is not None:
+            already = bool(is_init())
+        else:  # older jax: probe the internal state
+            from jax._src import distributed as _dist
 
-        already = _dist.global_state.client is not None
+            already = _dist.global_state.client is not None
     except Exception:
         already = False
     if coordinator_address is not None and not already:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-            local_device_ids=local_device_ids,
-        )
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+                local_device_ids=local_device_ids,
+            )
+        except RuntimeError as e:
+            # a failed probe (private-API drift) must degrade to a no-op on
+            # an already-initialized runtime, not crash
+            if "already initialized" not in str(e).lower():
+                raise
     return jax.process_index(), jax.process_count()
 
 
