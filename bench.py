@@ -100,8 +100,14 @@ def spmm_sweep(rows, cols, vals, n, nnz, bs, x_np):
     from gcge_tpu.ops.spmm_pallas import dia_spmm_pallas_t
 
     def chain_time(matvec, x, k=50):
+        # norm-preserving chain: the iterate is rescaled to unit RMS every
+        # step, so the kernel is always timed on full-range inputs.  (The
+        # previous *0.001 decay underflowed f32 to denormals/zero within ~30
+        # of the 50 chained iterations — the kernel was being timed on
+        # degenerate inputs, which made the r01/r02 f32 numbers incomparable.)
         def body(i, y):
-            return matvec(y) * 0.001
+            z = matvec(y)
+            return z * jax.lax.rsqrt(jnp.mean(jnp.square(z)) + 1e-30)
         g = jax.jit(lambda xx: jax.lax.fori_loop(0, k, body, xx))
         # On the tunneled runtime block_until_ready can return before the
         # device finishes (benchmarks/repeat_cache_probe.py) — a VALUE FETCH

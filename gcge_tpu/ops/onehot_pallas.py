@@ -92,20 +92,25 @@ def pack_onehot(rows, cols, vals, n, r_tile: int = 256, w_tile: int = 256,
                 j_max: int = 128):
     """Host-side packing of COO triplets into one-hot pair blocks.
 
-    Returns ``(t_ids, w_ids, rloc, cloc, pvals, n_pad, stats)`` with pairs
-    sorted by row tile (so the kernel's output accumulation is sequential
-    per tile) then by window (so x windows stream monotonically within a
-    tile).  Oversized (t, w) groups are split into multiple pairs.
-    Fully vectorized (one fancy-indexed scatter per array — production
-    matrices have millions of groups, a Python loop took minutes).
+    Returns ``(t_ids, w_ids, rloc, cloc, pvals, pvals_lo, n_pad, stats)``
+    with pairs sorted by row tile (so the kernel's output accumulation is
+    sequential per tile) then by window (so x windows stream monotonically
+    within a tile).  Oversized (t, w) groups are split into multiple pairs.
+    ``pvals + pvals_lo`` is the double-f32 split of the f64 values (48-bit
+    effective mantissa); the f32 kernel uses ``pvals`` alone, the df64
+    kernel both planes.  Fully vectorized (one fancy-indexed scatter per
+    array — production matrices have millions of groups, a Python loop took
+    minutes).
     """
-    vals = np.asarray(vals, np.float32)
+    vals64 = np.asarray(vals, np.float64)
+    vhi = vals64.astype(np.float32)
+    vlo = (vals64 - vhi.astype(np.float64)).astype(np.float32)
     (order, t, w, grp_start, grp_len, n_chunks, empty_tiles, n_pad,
      P) = _pack_groups(rows, cols, n, r_tile, w_tile, j_max)
     rows = np.asarray(rows)[order]
     cols = np.asarray(cols)[order]
-    vals = vals[order]
-    nnz = len(vals)
+    vhi, vlo = vhi[order], vlo[order]
+    nnz = len(vhi)
     # per-nnz pair index + slot: position within group, chunked by j_max
     grp_id = np.repeat(np.arange(len(grp_len)), grp_len)
     pos = np.arange(nnz) - grp_start[grp_id]
@@ -118,22 +123,25 @@ def pack_onehot(rows, cols, vals, n, r_tile: int = 256, w_tile: int = 256,
     rloc = np.zeros((P, j_max), np.int32)
     cloc = np.zeros((P, j_max), np.int32)
     pvals = np.zeros((P, j_max), np.float32)
+    pvals_lo = np.zeros((P, j_max), np.float32)
     t_ids[pair_of] = t
     w_ids[pair_of] = w
     rloc[pair_of, slot] = rows - t * r_tile
     cloc[pair_of, slot] = cols - w * w_tile
     # padded slots keep (0, 0, 0.0): they select x[w*W] into row 0 with
     # weight 0 — exact no-ops
-    pvals[pair_of, slot] = vals
+    pvals[pair_of, slot] = vhi
+    pvals_lo[pair_of, slot] = vlo
     t_ids[n_real:] = empty_tiles
     # keep pairs sorted by tile after appending the dummies
     order_p = np.argsort(t_ids, kind="stable")
     t_ids, w_ids = t_ids[order_p], w_ids[order_p]
-    rloc, cloc, pvals = rloc[order_p], cloc[order_p], pvals[order_p]
+    rloc, cloc = rloc[order_p], cloc[order_p]
+    pvals, pvals_lo = pvals[order_p], pvals_lo[order_p]
     fill = nnz / max(P * j_max, 1)
     stats = {"pairs": P, "fill": fill,
              "tiles": int(np.unique(t_ids).size)}
-    return t_ids, w_ids, rloc, cloc, pvals, n_pad, stats
+    return t_ids, w_ids, rloc, cloc, pvals, pvals_lo, n_pad, stats
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -231,6 +239,232 @@ def _onehot_spmm_t(t_ids, w_ids, rloc, cloc, pvals, xt,
     return out[:bs]
 
 
+# --------------------------------------------------------------------------
+# df64 one-hot kernel — full f64-quality SpMM for irregular matrices.
+#
+# The f32 kernel above serves the mixed-CG inner stages; the ACCURACY-critical
+# A-applications (residual checks near rel-tol 1e-8, the Rayleigh-Ritz W-Gram,
+# the initial RR, the mixed-CG f64 residual refreshes) need ~2^-40 relative
+# accuracy, which a plain f32 MXU pipeline cannot give: the scatter matmul's
+# f32 accumulator rounds at 2^-24 of the row scale, so a residual of 1e-8
+# relative cannot even be RESOLVED.  Without this kernel those applications
+# ran the gather-ELL path at 0.03 Gnnz/s — ~1500x below the banded Pallas
+# kernels and the single biggest irregular-matrix gap (VERDICT round 2).
+#
+# The df64 scheme keeps the selection/scatter MXU structure but makes every
+# stage either exact or error-compensated:
+#
+# 1. SELECTION is exact by construction: each output of ``x_plane @ Q`` is a
+#    SINGLE product ``x * 1``.  x (f64 = hi + lo f32 planes) enters as five
+#    bf16 planes — the exact bf16 triple split of x_hi (24 mantissa bits =
+#    3 x 8) plus a two-plane split of x_lo — each contracted against a bf16
+#    one-hot Q in ONE MXU pass and recombined on the VPU: the selected value
+#    is reproduced to 2^-48 relative.
+# 2. PRODUCTS ``v * x`` run on the VPU as Dekker two-products plus the
+#    hi*lo cross terms — error ~2^-48, never touching the MXU.
+# 3. The SCATTER SUM (the J-deep contraction against P) is where f32
+#    accumulation would round at 2^-24: it is replaced by Ozaki-style
+#    BLOCK-NORMALIZED INTEGER SLICES.  Per multivector row, the product
+#    plane g is peeled into K=6 slices ``c_k = round(rem / scale_k)`` with
+#    per-row power-of-two scales: the c_k are integers <= 2^8 (exact in
+#    bf16), their products against the 0/1 P are exact, and every partial
+#    sum in the MXU's f32 accumulator is an integer < 2^24 — the contraction
+#    is EXACT, slice by slice.  Peeling uses only exact ops (power-of-two
+#    divides, Sterbenz subtractions, two-sums), so after 6 slices the
+#    un-scattered remainder is < 2^-43 of the row scale.
+# 4. Slice results and cross-pair accumulation combine by two-sums into a
+#    (hi, lo) output pair, reconstructed to f64 outside.
+#
+# Cost: 5 selection + 6 scatter bf16 MXU passes per pair — ~11 single-pass
+# matmuls vs the f32 kernel's 2 six-pass HIGHEST matmuls, i.e. comparable
+# wall-clock to the f32 path at full f64 quality, vs ~30x slower on the
+# gather path it replaces.
+# --------------------------------------------------------------------------
+
+
+def _two_sum32(a, b):
+    """Knuth branch-free two-sum in f32 (a + b = s + err exactly)."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _two_prod32(a, b):
+    """Dekker two-product in f32 (split at 12 bits): a*b = p + err exactly."""
+    p = a * b
+    c = jnp.float32(4097.0) * a
+    a_hi = c - (c - a)
+    a_lo = a - a_hi
+    c = jnp.float32(4097.0) * b
+    b_hi = c - (c - b)
+    b_lo = b - b_hi
+    err = ((a_hi * b_hi - p) + a_hi * b_lo + a_lo * b_hi) + a_lo * b_lo
+    return p, err
+
+
+def _bf16_planes3(x):
+    """Exact bf16 triple split of f32 (24 mantissa bits = 3 x 8)."""
+    b1 = x.astype(jnp.bfloat16)
+    r = x - b1.astype(jnp.float32)
+    b2 = r.astype(jnp.bfloat16)
+    b3 = (r - b2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return b1, b2, b3
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "r_tile", "w_tile", "n_pad", "slices", "interpret"))
+def _onehot_spmm_t_df64(t_ids, w_ids, rloc, cloc, vhi, vlo, xhi, xlo,
+                        r_tile: int, w_tile: int, n_pad: int, slices: int,
+                        interpret: bool):
+    """df64 transposed one-hot SpMM: ``x = xhi + xlo (bs, n_pad) f32 planes
+    -> (y_hi, y_lo) f32 planes`` with ``y_hi + y_lo ~ (A @ x)^T`` to ~2^-40
+    relative of the per-row scale."""
+    P, J = rloc.shape
+    if not interpret:
+        assert J % 128 == 0, f"TPU lane constraint: j_max {J} % 128 != 0"
+    bs = xhi.shape[0]
+    sub = 8
+    bs_pad = _round_up(max(bs, sub), sub)
+
+    def padx(x):
+        return jnp.zeros((bs_pad, n_pad), jnp.float32).at[:bs].set(x)
+
+    xhi_p, xlo_p = padx(xhi), padx(xlo)
+    P8 = _round_up(P, 8)
+
+    def pad8(a):
+        return jnp.zeros((P8, J), a.dtype).at[:P].set(a)
+
+    rloc8, cloc8 = pad8(rloc), pad8(cloc)
+    vhi8, vlo8 = pad8(vhi), pad8(vlo)
+
+    def kernel(t_ref, w_ref, rloc_ref, cloc_ref, vh_ref, vl_ref,
+               xh_ref, xl_ref, ohi_ref, olo_ref):
+        p = pl.program_id(0)
+        is_first = jnp.logical_or(
+            p == 0, t_ref[p] != t_ref[jnp.maximum(p - 1, 0)])
+
+        @pl.when(is_first)
+        def _():
+            ohi_ref[:] = jnp.zeros_like(ohi_ref)
+            olo_ref[:] = jnp.zeros_like(olo_ref)
+
+        r = jax.lax.rem(p, jnp.int32(8))
+        cl = cloc_ref[r, :]
+        rl = rloc_ref[r, :]
+        vh = vh_ref[r, :]
+        vl = vl_ref[r, :]
+        # build the one-hots in f32 and cast: a direct bf16 select on the i1
+        # compare mask hits a Mosaic relayout it cannot do ((8,128) i1 tiling
+        # -> (16,128) bf16); the f32->bf16 pack of exact 0/1 values is both
+        # supported and exact
+        one = jnp.float32(1.0)
+        zero = jnp.float32(0.0)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (w_tile, J), 0)
+        q = jnp.where(iota_w == cl[None, :], one, zero).astype(
+            jnp.bfloat16)                                     # (W, J) bf16
+
+        def sel(plane):
+            return jnp.dot(plane, q, preferred_element_type=jnp.float32)
+
+        # exact selection: x_hi via its exact bf16 triple, x_lo via a
+        # two-plane split (error 2^-24 |x_lo| ~ 2^-48 |x|)
+        h1, h2, h3 = _bf16_planes3(xh_ref[:])
+        gxh = (sel(h1) + sel(h2)) + sel(h3)                   # == selected x_hi
+        l1 = xl_ref[:].astype(jnp.bfloat16)
+        l2 = (xl_ref[:] - l1.astype(jnp.float32)).astype(jnp.bfloat16)
+        gxl = sel(l1) + sel(l2)                               # (bs, J)
+
+        # v * x as two-product + cross terms
+        ph, pe = _two_prod32(vh[None, :], gxh)
+        pe = pe + vh[None, :] * gxl + vl[None, :] * gxh
+        g_hi, g_lo = _two_sum32(ph, pe)
+
+        # per-row power-of-two scale: 2^floor(log2 rowmax) via exponent mask
+        rowmax = jnp.max(jnp.abs(g_hi), axis=1, keepdims=True)  # (bs, 1)
+        rowmax = jnp.maximum(rowmax, jnp.float32(1e-30))
+        bits = jax.lax.bitcast_convert_type(rowmax, jnp.int32)
+        sigma = jax.lax.bitcast_convert_type(
+            jnp.bitwise_and(bits, jnp.int32(0x7F800000)), jnp.float32)
+
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (J, r_tile), 1)
+        pm = jnp.where(iota_r == rl[:, None], one, zero).astype(
+            jnp.bfloat16)                                     # (J, R) bf16
+
+        # integer-slice scatter: every MXU contraction below is EXACT
+        # (integer operands <= 2^8, partial sums < 2^24 in the f32
+        # accumulator); peeling uses power-of-two divides (exact), Sterbenz
+        # subtractions (exact) and two-sums.  Rounding MUST be lax.round —
+        # the classic (u + 1.5*2^23) - 1.5*2^23 trick is constant-folded to
+        # ``u`` by XLA's algebraic simplifier (observed on XLA:CPU under
+        # jit), which silently killed every slice after the first.
+        scale = sigma * jnp.float32(2.0 ** -7)
+        rem_hi, rem_lo = g_hi, g_lo
+        pair_hi = jnp.zeros((bs_pad, r_tile), jnp.float32)
+        pair_lo = jnp.zeros((bs_pad, r_tile), jnp.float32)
+        for _ in range(slices):
+            u = rem_hi / scale                                 # |u| <= 2^8
+            c = jax.lax.round(u, jax.lax.RoundingMethod.TO_NEAREST_EVEN)
+            yk = jnp.dot(c.astype(jnp.bfloat16), pm,
+                         preferred_element_type=jnp.float32)   # exact ints
+            contrib = yk * scale                               # exact (2^k)
+            pair_hi, e = _two_sum32(pair_hi, contrib)
+            pair_lo = pair_lo + e
+            rem_hi = rem_hi - c * scale                        # Sterbenz
+            rem_hi, rem_lo = _two_sum32(rem_hi, rem_lo)
+            scale = scale * jnp.float32(2.0 ** -7)
+
+        ohi_ref[:], e = _two_sum32(ohi_ref[:], pair_hi)
+        olo_ref[:] += e + pair_lo
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(P,),
+        in_specs=[
+            pl.BlockSpec((8, J),
+                         lambda p, t, w: (jax.lax.div(p, jnp.int32(8)), p * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, J),
+                         lambda p, t, w: (jax.lax.div(p, jnp.int32(8)), p * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, J),
+                         lambda p, t, w: (jax.lax.div(p, jnp.int32(8)), p * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, J),
+                         lambda p, t, w: (jax.lax.div(p, jnp.int32(8)), p * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs_pad, w_tile), lambda p, t, w: (p * 0, w[p]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs_pad, w_tile), lambda p, t, w: (p * 0, w[p]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bs_pad, r_tile), lambda p, t, w: (p * 0, t[p]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs_pad, r_tile), lambda p, t, w: (p * 0, t[p]),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    ohi, olo = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((bs_pad, n_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((bs_pad, n_pad), jnp.float32)),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=96 * 2**20,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P * J * (5 * w_tile + slices * r_tile) * bs_pad,
+            bytes_accessed=P * J * 16 + 4 * bs_pad * n_pad * 4,
+            transcendentals=0,
+        ),
+    )(t_ids, w_ids, rloc8, cloc8, vhi8, vlo8, xhi_p, xlo_p)
+    return ohi[:bs], olo[:bs]
+
+
 @jax.tree_util.register_pytree_node_class
 class OneHotOperator:
     """Irregular sparse operator in windowed one-hot pair layout (f32).
@@ -243,13 +477,14 @@ class OneHotOperator:
     implementation (also used by the unit tests).
     """
 
-    def __init__(self, t_ids, w_ids, rloc, cloc, pvals, n: int, n_pad: int,
-                 r_tile: int, w_tile: int):
+    def __init__(self, t_ids, w_ids, rloc, cloc, pvals, pvals_lo, n: int,
+                 n_pad: int, r_tile: int, w_tile: int):
         self.t_ids = t_ids
         self.w_ids = w_ids
         self.rloc = rloc
         self.cloc = cloc
         self.pvals = pvals
+        self.pvals_lo = pvals_lo
         self.n = int(n)
         self.n_pad = int(n_pad)
         self.r_tile = int(r_tile)
@@ -267,11 +502,11 @@ class OneHotOperator:
     def from_coo(cls, rows, cols, vals, shape, r_tile: int = 256,
                  w_tile: int = 256, j_max: int = 128):
         n = shape[0]
-        t_ids, w_ids, rloc, cloc, pvals, n_pad, stats = pack_onehot(
+        t_ids, w_ids, rloc, cloc, pvals, pvals_lo, n_pad, stats = pack_onehot(
             rows, cols, vals, n, r_tile, w_tile, j_max)
         op = cls(jnp.asarray(t_ids), jnp.asarray(w_ids), jnp.asarray(rloc),
-                 jnp.asarray(cloc), jnp.asarray(pvals), n, n_pad,
-                 r_tile, w_tile)
+                 jnp.asarray(cloc), jnp.asarray(pvals),
+                 jnp.asarray(pvals_lo), n, n_pad, r_tile, w_tile)
         op.stats = stats
         return op
 
@@ -287,6 +522,28 @@ class OneHotOperator:
                            self.n_pad, interpret)
         return y[:, :n].astype(xt.dtype)
 
+    def matvec_t_df64(self, xt, interpret: bool | None = None,
+                      slices: int = 6):
+        """``xt (bs, n) f64 -> (A @ x)^T (bs, n) f64`` to ~2^-40 relative.
+
+        The f64-quality fast path for every accuracy-critical A-application
+        of an irregular operator (residual checks, Rayleigh-Ritz Grams,
+        initial RR, mixed-CG refreshes) — see the df64 kernel block comment.
+        """
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        bs, n = xt.shape
+        assert n == self.n
+        x64 = jnp.pad(xt.astype(jnp.float64), ((0, 0), (0, self.n_pad - n)))
+        xhi = x64.astype(jnp.float32)
+        xlo = (x64 - xhi.astype(jnp.float64)).astype(jnp.float32)
+        yhi, ylo = _onehot_spmm_t_df64(
+            self.t_ids, self.w_ids, self.rloc, self.cloc,
+            self.pvals, self.pvals_lo, xhi, xlo,
+            self.r_tile, self.w_tile, self.n_pad, slices, interpret)
+        y = yhi.astype(jnp.float64) + ylo.astype(jnp.float64)
+        return y[:, :n]
+
     def matvec(self, x):
         return self.matvec_t(x.T).T
 
@@ -294,14 +551,17 @@ class OneHotOperator:
         """Exact segment-sum reference (host/CPU correctness oracle)."""
         gr = (self.t_ids[:, None] * self.r_tile + self.rloc).reshape(-1)
         gc = (self.w_ids[:, None] * self.w_tile + self.cloc).reshape(-1)
-        v = self.pvals.reshape(-1)
+        v = self.pvals.reshape(-1).astype(x.dtype)
+        if x.dtype == jnp.float64:
+            v = v + self.pvals_lo.reshape(-1).astype(jnp.float64)
         xp = jnp.pad(x, ((0, self.n_pad - self.n), (0, 0)))
         contrib = v[:, None] * xp[gc]
         return jax.ops.segment_sum(contrib, gr, num_segments=self.n_pad)[
             : self.n]
 
     def tree_flatten(self):
-        return ((self.t_ids, self.w_ids, self.rloc, self.cloc, self.pvals),
+        return ((self.t_ids, self.w_ids, self.rloc, self.cloc, self.pvals,
+                 self.pvals_lo),
                 (self.n, self.n_pad, self.r_tile, self.w_tile))
 
     @classmethod

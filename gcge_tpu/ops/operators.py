@@ -535,17 +535,33 @@ class HybridOperator(LinearOperator):
 
 @jax.tree_util.register_pytree_node_class
 class EllOneHotOperator(SparseOperator):
-    """Irregular operator: f64 gather-ELL + f32 one-hot planes.
+    """Irregular operator: windowed one-hot MXU planes + gather-ELL fallback.
 
-    The f64 gather path serves the accuracy-critical applications (residual
-    checks, Rayleigh-Ritz Grams, mixed-CG refreshes); the windowed one-hot
-    MXU kernel (:mod:`gcge_tpu.ops.onehot_pallas`) serves the f32 inner-CG
-    stages at ~3.5x the gather throughput.  This is the irregular-matrix
-    analogue of :class:`DiaDF64Operator`'s role for banded matrices."""
+    The f32 one-hot kernel (:mod:`gcge_tpu.ops.onehot_pallas`) serves the
+    inner-CG stages; the df64 one-hot kernel serves EVERY f64 A-application
+    (residual checks, Rayleigh-Ritz Grams, initial RR, mixed-CG refreshes)
+    at full f64 quality — the gather-ELL path (0.03 Gnnz/s measured, ~30x
+    slower) remains only as the off-TPU fallback.  This is the
+    irregular-matrix analogue of :class:`DiaDF64Operator`'s role for banded
+    matrices."""
 
     def __init__(self, values, indices, n_cols: int, oh):
         super().__init__(values, indices, n_cols)
         self.oh = oh
+
+    def _use_pallas(self, x):
+        return jax.default_backend() == "tpu" and x.dtype == jnp.float64
+
+    def matvec(self, x):
+        if self._use_pallas(x):
+            return self.oh.matvec_t_df64(x.T).T
+        return super().matvec(x)
+
+    def matvec_t(self, xt):
+        """Transposed-layout f64 matvec (native layout of the df64 kernel)."""
+        if self._use_pallas(xt):
+            return self.oh.matvec_t_df64(xt)
+        return super().matvec(xt.T).T
 
     def tree_flatten(self):
         return (self.values, self.indices, self.oh), (self.n_cols,)

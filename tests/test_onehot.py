@@ -59,11 +59,51 @@ def test_onehot_oversized_groups_split(rng):
 
 def test_pack_onehot_stats(rng):
     rows, cols, vals = _random_banded(rng, 2000, 9, 500)
-    t, w, rl, cl, pv, n_pad, stats = pack_onehot(rows, cols, vals, 2000)
+    t, w, rl, cl, pv, pvlo, n_pad, stats = pack_onehot(rows, cols, vals, 2000)
     assert n_pad % 256 == 0
     assert (np.diff(t) >= 0).all()          # sorted by tile
     assert stats["fill"] == pytest.approx(
         len(vals) / (stats["pairs"] * rl.shape[1]))
+    # hi + lo reconstructs the f64 values exactly
+    assert (pv.astype(np.float64) + pvlo.astype(np.float64)).sum() \
+        == pytest.approx(np.asarray(vals, np.float64).sum(), abs=1e-12)
+
+
+@pytest.mark.parametrize("n,k,band,cfg", [
+    (1000, 7, 300, (256, 256, 128)),
+    (513, 11, 80, (256, 512, 128)),
+])
+def test_onehot_df64_accuracy(rng, n, k, band, cfg):
+    """The df64 one-hot kernel must deliver ~f64 accuracy — orders below
+    what any f32 pipeline can give — so residual checks at rel-tol 1e-8 can
+    ride it (the whole point of the kernel)."""
+    rows, cols, vals = _random_banded(rng, n, k, band)
+    rt, wt, jm = cfg
+    op = OneHotOperator.from_coo(rows, cols, vals, (n, n), r_tile=rt,
+                                 w_tile=wt, j_max=jm)
+    a = sps.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    x = rng.standard_normal((n, 6))
+    y = np.asarray(op.matvec_t_df64(jnp.asarray(x.T, jnp.float64)))
+    y_ref = (a @ x).T
+    scale = np.abs(y_ref).max()
+    assert np.abs(y - y_ref).max() < 1e-11 * scale
+
+
+def test_ellonehot_f64_matvec_routes_df64(rng):
+    """EllOneHotOperator.matvec on f64 must agree with scipy to f64 quality
+    on every backend (df64 kernel on TPU, gather-ELL elsewhere)."""
+    from gcge_tpu.ops.operators import EllOneHotOperator
+
+    n = 600
+    rows, cols, vals = _random_banded(rng, n, 5, 200)
+    op = EllOneHotOperator.from_coo(rows, cols, vals, (n, n))
+    a = sps.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    x = rng.standard_normal((n, 4))
+    y = np.asarray(op.matvec(jnp.asarray(x, jnp.float64)))
+    y_ref = a @ x
+    assert np.abs(y - y_ref).max() < 1e-11 * np.abs(y_ref).max()
+    yt = np.asarray(op.matvec_t(jnp.asarray(x.T, jnp.float64)))
+    assert np.abs(yt - y_ref.T).max() < 1e-11 * np.abs(y_ref).max()
 
 
 def test_gcg_mixed_with_onehot_operator(rng):
