@@ -381,9 +381,15 @@ def _onehot_spmm_t_df64(t_ids, w_ids, rloc, cloc, vhi, vlo, xhi, xlo,
         pe = pe + vh[None, :] * gxl + vl[None, :] * gxh
         g_hi, g_lo = _two_sum32(ph, pe)
 
-        # per-row power-of-two scale: 2^floor(log2 rowmax) via exponent mask
+        # per-row power-of-two scale: 2^floor(log2 rowmax) via exponent mask.
+        # The floor must keep scale * 2^(-7*slices) NORMAL: the TPU flushes
+        # denormals to zero, and an underflowed scale makes u = rem/0 = inf
+        # -> NaN (observed as NaN eigenvalues on the production run; CPU
+        # interpret mode keeps denormals and hid it).  2^-60 floor keeps the
+        # deepest slice scale at 2^-109, far above the 2^-126 normal floor,
+        # while 2^-60-scale rows contribute nothing physical anyway.
         rowmax = jnp.max(jnp.abs(g_hi), axis=1, keepdims=True)  # (bs, 1)
-        rowmax = jnp.maximum(rowmax, jnp.float32(1e-30))
+        rowmax = jnp.maximum(rowmax, jnp.float32(2.0 ** -60))
         bits = jax.lax.bitcast_convert_type(rowmax, jnp.int32)
         sigma = jax.lax.bitcast_convert_type(
             jnp.bitwise_and(bits, jnp.int32(0x7F800000)), jnp.float32)

@@ -893,7 +893,10 @@ def _check_convergence_host(
         idx -= 1
     nev_conv = max(nev_conv_prev, c0_eff + idx)
 
-    act = [c0_eff + i for i in range(cw) if unconv[i]]
+    # positions before scan_from sit below nev_conv (the window was clamped):
+    # they are converged and never re-activated — the reference scans only
+    # from sizeC (ops_eig_sol_gcg.c:262-301), and the traced twin agrees
+    act = [c0_eff + i for i in range(scan_from, cw) if unconv[i]]
     nxt = c0_eff + cw
     while len(act) < bs and nxt < size_x:
         act.append(nxt)
