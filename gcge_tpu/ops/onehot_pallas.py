@@ -184,20 +184,32 @@ def _onehot_spmm_t(t_ids, w_ids, rloc, cloc, pvals, xt,
         one = jnp.float32(1.0)
         zero = jnp.float32(0.0)
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (w_tile, J), 0)
-        q = jnp.where(iota_w == cl[None, :], one, zero)       # (W, J)
-        # precision: TPU matmuls round f32 inputs to bf16 at DEFAULT
-        # precision (measured 3.3e-3 relative error); the one-hot operand is
-        # EXACT in bf16 (0/1), so only the data operand runs multi-pass —
-        # HIGHEST would ideally be one-sided, but Mosaic rejects per-operand
-        # precision, so both run multi-pass
-        prec = jax.lax.Precision.HIGHEST
-        g = jnp.dot(x_ref[:], q, preferred_element_type=jnp.float32,
-                    precision=prec)
+        q = jnp.where(iota_w == cl[None, :], one, zero).astype(
+            jnp.bfloat16)                                     # (W, J)
+        # precision via exact bf16 plane splits instead of HIGHEST matmuls:
+        # a HIGHEST f32 dot costs ~6 bf16 MXU passes per operand pair, but
+        # the one-hot operand is EXACT in bf16 and both contractions only
+        # need the DATA operand decomposed — the exact bf16 triple split
+        # (24 mantissa bits = 3 x 8) gives (a) an exact selection in 3
+        # single passes and (b) a scatter whose per-term products are exact
+        # and whose f32 accumulation error matches the HIGHEST dot's, in 3
+        # single passes.  Net: 6 bf16 passes vs ~12 — measured ~2x, same
+        # ~1e-6 accuracy class (tests/test_onehot.py).
+        def sel(plane):
+            return jnp.dot(plane, q, preferred_element_type=jnp.float32)
+
+        h1, h2, h3 = _bf16_planes3(x_ref[:])
+        g = (sel(h1) + sel(h2)) + sel(h3)                     # exact select
         g = g * vl[None, :]                                   # (bs, J)
         iota_r = jax.lax.broadcasted_iota(jnp.int32, (J, r_tile), 1)
-        pm = jnp.where(iota_r == rl[:, None], one, zero)      # (J, R)
-        o_ref[:] += jnp.dot(g, pm, preferred_element_type=jnp.float32,
-                            precision=prec)
+        pm = jnp.where(iota_r == rl[:, None], one, zero).astype(
+            jnp.bfloat16)                                     # (J, R)
+        g1, g2, g3 = _bf16_planes3(g)
+
+        def scat(plane):
+            return jnp.dot(plane, pm, preferred_element_type=jnp.float32)
+
+        o_ref[:] += (scat(g1) + scat(g2)) + scat(g3)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -231,7 +243,7 @@ def _onehot_spmm_t(t_ids, w_ids, rloc, cloc, pvals, xt,
             vmem_limit_bytes=72 * 2**20,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * P * J * (w_tile + r_tile) * bs_pad,
+            flops=2 * P * J * 3 * (w_tile + r_tile) * bs_pad,
             bytes_accessed=P * J * 12 + 2 * bs_pad * n_pad * 4,
             transcendentals=0,
         ),
