@@ -138,9 +138,24 @@ def pack_onehot(rows, cols, vals, n, r_tile: int = 256, w_tile: int = 256,
     t_ids, w_ids = t_ids[order_p], w_ids[order_p]
     rloc, cloc = rloc[order_p], cloc[order_p]
     pvals, pvals_lo = pvals[order_p], pvals_lo[order_p]
+    # pad the pair count to a multiple of 8 HERE (the kernels fetch pair
+    # rows in (8, J) blocks): a per-call pad inside the jitted kernel is a
+    # full copy of the pair arrays (~250 MB/call at production sizes).
+    # Padding rows MUST carry the LAST tile id — a 0 tile id would trip the
+    # kernel's is_first test and wipe tile 0's accumulated output; their
+    # zero values then contribute exact no-ops.
+    P8 = _round_up(P, 8)
+    if P8 != P:
+        t_ids = np.concatenate([t_ids, np.full(P8 - P, t_ids[-1], np.int32)])
+        w_ids = np.concatenate([w_ids, np.full(P8 - P, w_ids[-1], np.int32)])
+        zpad = np.zeros((P8 - P, j_max), np.float32)
+        rloc = np.concatenate([rloc, zpad.astype(np.int32)])
+        cloc = np.concatenate([cloc, zpad.astype(np.int32)])
+        pvals = np.concatenate([pvals, zpad])
+        pvals_lo = np.concatenate([pvals_lo, zpad])
     fill = nnz / max(P * j_max, 1)
     stats = {"pairs": P, "fill": fill,
-             "tiles": int(np.unique(t_ids).size)}
+             "tiles": int(np.unique(t_ids[:P]).size)}
     return t_ids, w_ids, rloc, cloc, pvals, pvals_lo, n_pad, stats
 
 
@@ -158,13 +173,17 @@ def _onehot_spmm_t(t_ids, w_ids, rloc, cloc, pvals, xt,
     xt_p = jnp.zeros((bs_pad, n_pad), jnp.float32).at[:bs].set(
         xt.astype(jnp.float32))
     # pair arrays are fetched in (8, J) blocks (TPU sublane constraint —
-    # (1, J) blocks are rejected); the kernel reads its pair's row p % 8
+    # (1, J) blocks are rejected); the kernel reads its pair's row p % 8.
+    # pack_onehot pre-pads P to a multiple of 8 (per-call padding copies
+    # the whole pair set); pad here only for hand-built pair sets.
     P8 = _round_up(P, 8)
+    if P8 == P:
+        rloc8, cloc8, pvals8 = rloc, cloc, pvals
+    else:
+        def pad8(a):
+            return jnp.zeros((P8, J), a.dtype).at[:P].set(a)
 
-    def pad8(a):
-        return jnp.zeros((P8, J), a.dtype).at[:P].set(a)
-
-    rloc8, cloc8, pvals8 = pad8(rloc), pad8(cloc), pad8(pvals)
+        rloc8, cloc8, pvals8 = pad8(rloc), pad8(cloc), pad8(pvals)
 
     def kernel(t_ref, w_ref, rloc_ref, cloc_ref, val_ref, x_ref, o_ref):
         p = pl.program_id(0)
@@ -344,12 +363,14 @@ def _onehot_spmm_t_df64(t_ids, w_ids, rloc, cloc, vhi, vlo, xhi, xlo,
 
     xhi_p, xlo_p = padx(xhi), padx(xlo)
     P8 = _round_up(P, 8)
+    if P8 == P:
+        rloc8, cloc8, vhi8, vlo8 = rloc, cloc, vhi, vlo
+    else:
+        def pad8(a):
+            return jnp.zeros((P8, J), a.dtype).at[:P].set(a)
 
-    def pad8(a):
-        return jnp.zeros((P8, J), a.dtype).at[:P].set(a)
-
-    rloc8, cloc8 = pad8(rloc), pad8(cloc)
-    vhi8, vlo8 = pad8(vhi), pad8(vlo)
+        rloc8, cloc8 = pad8(rloc), pad8(cloc)
+        vhi8, vlo8 = pad8(vhi), pad8(vlo)
 
     def kernel(t_ref, w_ref, rloc_ref, cloc_ref, vh_ref, vl_ref,
                xh_ref, xl_ref, ohi_ref, olo_ref):

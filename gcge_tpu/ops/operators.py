@@ -402,9 +402,18 @@ class DiaDF64Operator(DiaOperator):
     so results are platform-portable to ~1e-14.
     """
 
-    def __init__(self, values_hi, values_lo, offsets, n_cols: int):
+    def __init__(self, values_hi, values_lo, offsets, n_cols: int,
+                 values_hi_pad=None, values_lo_pad=None):
         self.values_hi = values_hi    # (ndiag, n) f32
         self.values_lo = values_lo    # (ndiag, n) f32
+        # optional planes PRE-PADDED to the Pallas kernel's tile grid —
+        # built once by from_dia; the per-call pad inside the kernel is a
+        # full copy of the values that XLA does not hoist out of solver
+        # loops (measured 0.64 -> 0.52 ms per bench matvec once removed).
+        # Sharded construction (parallel.dist_ops.shard_operator) passes
+        # None: shard-local widths must stay exact.
+        self.values_hi_pad = values_hi_pad
+        self.values_lo_pad = values_lo_pad
         self.offsets = tuple(int(o) for o in offsets)
         self.n_cols = int(n_cols)
 
@@ -431,35 +440,50 @@ class DiaDF64Operator(DiaOperator):
     def _use_pallas(self, x):
         return jax.default_backend() == "tpu" and x.dtype == jnp.float64
 
+    def _planes(self):
+        if self.values_hi_pad is not None:
+            return self.values_hi_pad, self.values_lo_pad
+        return self.values_hi, self.values_lo
+
     def matvec(self, x):
         if self._use_pallas(x):
             from gcge_tpu.ops.spmm_pallas import dia_spmm_pallas_t_df64
 
-            return dia_spmm_pallas_t_df64(
-                self.values_hi, self.values_lo, self.offsets, x.T).T
+            vh, vl = self._planes()
+            return dia_spmm_pallas_t_df64(vh, vl, self.offsets, x.T).T
         return super().matvec(x)
 
     def matvec_t(self, xt):
         if self._use_pallas(xt):
             from gcge_tpu.ops.spmm_pallas import dia_spmm_pallas_t_df64
 
-            return dia_spmm_pallas_t_df64(
-                self.values_hi, self.values_lo, self.offsets, xt)
+            vh, vl = self._planes()
+            return dia_spmm_pallas_t_df64(vh, vl, self.offsets, xt)
         return super().matvec_t(xt)
 
     def tree_flatten(self):
-        return (self.values_hi, self.values_lo), (self.offsets, self.n_cols)
+        return ((self.values_hi, self.values_lo, self.values_hi_pad,
+                 self.values_lo_pad), (self.offsets, self.n_cols))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux[0], aux[1])
+        return cls(children[0], children[1], aux[0], aux[1],
+                   children[2], children[3])
 
     @classmethod
     def from_dia(cls, dia: DiaOperator) -> "DiaDF64Operator":
         from gcge_tpu.ops.spmm_pallas import split_df32
 
         hi, lo = split_df32(dia.values.astype(jnp.float64))
-        return cls(hi, lo, dia.offsets, dia.n_cols)
+        ndiag, n = hi.shape
+        span = max(abs(o) for o in dia.offsets) if dia.offsets else 0
+        tn = max(4096, -(-max(span, 1) // 512) * 512)
+        n_pad = -(-n // tn) * tn
+
+        def pad(v):
+            return jnp.zeros((ndiag, n_pad), v.dtype).at[:, :n].set(v)
+
+        return cls(hi, lo, dia.offsets, dia.n_cols, pad(hi), pad(lo))
 
     @classmethod
     def from_coo(cls, rows, cols, vals, shape, dtype=jnp.float64):
