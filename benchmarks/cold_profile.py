@@ -13,9 +13,18 @@ Usage: COLD_CACHE_DIR=/tmp/coldcache python benchmarks/cold_profile.py
 import os
 import sys as _s, os as _o; _s.path.insert(0, _o.path.dirname(_o.path.dirname(_o.path.abspath(__file__))))
 import logging
+import tempfile
 import time
 
-CACHE = os.environ.get("COLD_CACHE_DIR", "/tmp/coldcache")
+# A pre-populated cache dir would silently measure a WARM start — default to
+# a fresh temporary directory, and refuse a non-empty user-supplied one.
+CACHE = os.environ.get("COLD_CACHE_DIR")
+if CACHE is None:
+    CACHE = tempfile.mkdtemp(prefix="coldcache_")
+elif os.path.isdir(CACHE) and os.listdir(CACHE):
+    raise SystemExit(f"COLD_CACHE_DIR={CACHE} is non-empty: this run would "
+                     "measure a warm cache, not a cold start.  Point it at "
+                     "an empty/new directory (or unset it).")
 os.environ["JAX_COMPILATION_CACHE_DIR"] = CACHE
 
 import jax
@@ -28,21 +37,26 @@ jax.config.update("jax_log_compiles", True)
 t_start = time.perf_counter()
 
 
-class _Stamp(logging.Filter):
-    """Prefix every jax compile log line with seconds-since-start."""
+class _StampFormatter(logging.Formatter):
+    """Prefix every jax compile log line with seconds-since-start.
 
-    def filter(self, record):
-        record.msg = f"[t={time.perf_counter() - t_start:7.1f}s] {record.msg}"
-        return True
+    Formatter, not a Filter mutating record.msg: other handlers must see the
+    pristine record.
+    """
+
+    def format(self, record):
+        return (f"[t={time.perf_counter() - t_start:7.1f}s] "
+                f"{super().format(record)}")
 
 
 handler = logging.StreamHandler()
-handler.addFilter(_Stamp())
+handler.setFormatter(_StampFormatter("%(message)s"))
 for name in ("jax._src.interpreters.pxla", "jax._src.compiler",
              "jax._src.dispatch"):
     lg = logging.getLogger(name)
     lg.addHandler(handler)
     lg.setLevel(logging.DEBUG)
+    lg.propagate = False  # a root/absl handler would double-print
 
 from bench import build_3d27
 from gcge_tpu.ops.operators import make_operator
