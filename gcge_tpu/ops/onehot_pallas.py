@@ -214,21 +214,25 @@ def _onehot_spmm_t(t_ids, w_ids, rloc, cloc, pvals, xt,
         # and whose f32 accumulation error matches the HIGHEST dot's, in 3
         # single passes.  Net: 6 bf16 passes vs ~12 — measured ~2x, same
         # ~1e-6 accuracy class (tests/test_onehot.py).
-        def sel(plane):
-            return jnp.dot(plane, q, preferred_element_type=jnp.float32)
-
+        #
+        # The planes are STACKED along the M (sublane) dimension and issued
+        # as ONE matmul per contraction: separate plane dots have M = bs_pad
+        # (16 at the production block size) and use 16/128 of the MXU's
+        # rows; the stacked (3*bs_pad, W) @ (W, J) and (3*bs_pad, J) @
+        # (J, R) forms recover 3x of that without changing a single
+        # rounding (the f32 recombination order is identical).
         h1, h2, h3 = _bf16_planes3(x_ref[:])
-        g = (sel(h1) + sel(h2)) + sel(h3)                     # exact select
+        hs = jnp.concatenate([h1, h2, h3], axis=0)            # (3*bs, W)
+        gs = jnp.dot(hs, q, preferred_element_type=jnp.float32)
+        g = (gs[:bs_pad] + gs[bs_pad:2 * bs_pad]) + gs[2 * bs_pad:]
         g = g * vl[None, :]                                   # (bs, J)
         iota_r = jax.lax.broadcasted_iota(jnp.int32, (J, r_tile), 1)
         pm = jnp.where(iota_r == rl[:, None], one, zero).astype(
             jnp.bfloat16)                                     # (J, R)
         g1, g2, g3 = _bf16_planes3(g)
-
-        def scat(plane):
-            return jnp.dot(plane, pm, preferred_element_type=jnp.float32)
-
-        o_ref[:] += (scat(g1) + scat(g2)) + scat(g3)
+        gp = jnp.concatenate([g1, g2, g3], axis=0)            # (3*bs, J)
+        ys = jnp.dot(gp, pm, preferred_element_type=jnp.float32)
+        o_ref[:] += (ys[:bs_pad] + ys[bs_pad:2 * bs_pad]) + ys[2 * bs_pad:]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -398,16 +402,20 @@ def _onehot_spmm_t_df64(t_ids, w_ids, rloc, cloc, vhi, vlo, xhi, xlo,
         q = jnp.where(iota_w == cl[None, :], one, zero).astype(
             jnp.bfloat16)                                     # (W, J) bf16
 
-        def sel(plane):
-            return jnp.dot(plane, q, preferred_element_type=jnp.float32)
-
         # exact selection: x_hi via its exact bf16 triple, x_lo via a
-        # two-plane split (error 2^-24 |x_lo| ~ 2^-48 |x|)
+        # two-plane split (error 2^-24 |x_lo| ~ 2^-48 |x|).  All five planes
+        # are STACKED along M and issued as ONE (5*bs_pad, W) @ (W, J)
+        # matmul: separate plane dots use bs_pad/128 of the MXU's rows
+        # (12.5% at the production block size); the stacked form recovers
+        # 5x of that without changing a single rounding.
         h1, h2, h3 = _bf16_planes3(xh_ref[:])
-        gxh = (sel(h1) + sel(h2)) + sel(h3)                   # == selected x_hi
         l1 = xl_ref[:].astype(jnp.bfloat16)
         l2 = (xl_ref[:] - l1.astype(jnp.float32)).astype(jnp.bfloat16)
-        gxl = sel(l1) + sel(l2)                               # (bs, J)
+        hs = jnp.concatenate([h1, h2, h3, l1, l2], axis=0)    # (5*bs, W)
+        gsel = jnp.dot(hs, q, preferred_element_type=jnp.float32)
+        gxh = (gsel[:bs_pad] + gsel[bs_pad:2 * bs_pad]) + gsel[
+            2 * bs_pad:3 * bs_pad]                            # selected x_hi
+        gxl = gsel[3 * bs_pad:4 * bs_pad] + gsel[4 * bs_pad:]  # (bs, J)
 
         # v * x as two-product + cross terms
         ph, pe = _two_prod32(vh[None, :], gxh)
@@ -438,21 +446,32 @@ def _onehot_spmm_t_df64(t_ids, w_ids, rloc, cloc, vhi, vlo, xhi, xlo,
         # the classic (u + 1.5*2^23) - 1.5*2^23 trick is constant-folded to
         # ``u`` by XLA's algebraic simplifier (observed on XLA:CPU under
         # jit), which silently killed every slice after the first.
+        # peel ALL slices on the VPU first (the peel chain is sequential),
+        # then scatter them in ONE stacked (slices*bs_pad, J) @ (J, R)
+        # matmul — one M=96 MXU contraction instead of six M=16 ones; the
+        # per-slice integer partial sums stay exact (disjoint M rows), and
+        # the scale-and-accumulate order below is identical to the fused
+        # loop's, so not a single rounding changes.
         scale = sigma * jnp.float32(2.0 ** -7)
         rem_hi, rem_lo = g_hi, g_lo
-        pair_hi = jnp.zeros((bs_pad, r_tile), jnp.float32)
-        pair_lo = jnp.zeros((bs_pad, r_tile), jnp.float32)
+        cks = []
+        scales = []
         for _ in range(slices):
             u = rem_hi / scale                                 # |u| <= 2^8
             c = jax.lax.round(u, jax.lax.RoundingMethod.TO_NEAREST_EVEN)
-            yk = jnp.dot(c.astype(jnp.bfloat16), pm,
-                         preferred_element_type=jnp.float32)   # exact ints
-            contrib = yk * scale                               # exact (2^k)
-            pair_hi, e = _two_sum32(pair_hi, contrib)
-            pair_lo = pair_lo + e
+            cks.append(c.astype(jnp.bfloat16))
+            scales.append(scale)
             rem_hi = rem_hi - c * scale                        # Sterbenz
             rem_hi, rem_lo = _two_sum32(rem_hi, rem_lo)
             scale = scale * jnp.float32(2.0 ** -7)
+        ys = jnp.dot(jnp.concatenate(cks, axis=0), pm,
+                     preferred_element_type=jnp.float32)       # exact ints
+        pair_hi = jnp.zeros((bs_pad, r_tile), jnp.float32)
+        pair_lo = jnp.zeros((bs_pad, r_tile), jnp.float32)
+        for k in range(slices):
+            contrib = ys[k * bs_pad:(k + 1) * bs_pad] * scales[k]  # exact 2^k
+            pair_hi, e = _two_sum32(pair_hi, contrib)
+            pair_lo = pair_lo + e
 
         ohi_ref[:], e = _two_sum32(ohi_ref[:], pair_hi)
         olo_ref[:] += e + pair_lo

@@ -98,3 +98,110 @@ class MemWatch:
             f"({d_live / 2**20:+.1f} MiB); now {after}"
         )
         return False
+
+
+# --------------------------------------------------------------------------
+# Leak tracking — the memwatch parity piece.
+#
+# The reference's memwatch records every malloc with its file:line and
+# reports the ones never freed (``test/memwatch.c``).  The JAX analogue of
+# "never freed" is a device buffer created inside a region that is still
+# alive after it — typically a solver caching an array on ``self``, a
+# module-level cache growing per call, or a jit constant pinned by a closure.
+# ``LeakTracker`` diffs the live-array census by object identity between
+# marks and reports the survivors grouped by (shape, dtype); ``leak_check``
+# is the test-facing wrapper that runs a callable twice and asserts the
+# SECOND call creates no net-new live buffers (the first call may
+# legitimately populate caches — exactly how memwatch runs are read).
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class LeakReport:
+    """Survivors of a tracked region, grouped by (shape, dtype)."""
+
+    new_arrays: int
+    new_bytes: int
+    groups: dict  # (shape, dtype) -> (count, bytes)
+
+    def __str__(self):
+        if not self.new_arrays:
+            return "[leaktracker] clean: no surviving device allocations"
+        lines = [
+            f"[leaktracker] {self.new_arrays} surviving arrays "
+            f"({self.new_bytes / 2**20:.2f} MiB):"
+        ]
+        for (shape, dtype), (cnt, nbytes) in sorted(
+                self.groups.items(), key=lambda kv: -kv[1][1]):
+            lines.append(f"  {cnt:4d} x {dtype}{list(shape)}  "
+                         f"{nbytes / 2**20:8.2f} MiB")
+        return "\n".join(lines)
+
+
+class LeakTracker:
+    """Identity-diff leak tracker over the live jax.Array census.
+
+    >>> lt = LeakTracker()
+    >>> lt.start()
+    >>> ... run the region ...
+    >>> report = lt.stop()     # arrays created in the region, still alive
+    """
+
+    def __init__(self, device=None):
+        self.device = device
+        self._before_ids: set | None = None
+
+    def _live(self):
+        import jax
+
+        device = self.device or jax.devices()[0]
+        return [a for a in jax.live_arrays()
+                if any(d == device for d in a.devices())]
+
+    def start(self):
+        self._before_ids = {id(a) for a in self._live()}
+        return self
+
+    def stop(self) -> LeakReport:
+        assert self._before_ids is not None, "start() first"
+        survivors = [a for a in self._live() if id(a) not in self._before_ids]
+        groups: dict = {}
+        for a in survivors:
+            key = (tuple(a.shape), str(a.dtype))
+            cnt, nbytes = groups.get(key, (0, 0))
+            groups[key] = (cnt + 1, nbytes + a.nbytes)
+        self._before_ids = None
+        return LeakReport(
+            new_arrays=len(survivors),
+            new_bytes=sum(a.nbytes for a in survivors),
+            groups=groups,
+        )
+
+
+def leak_check(fn, *args, allow_bytes: int = 0, **kwargs):
+    """Assert that a steady-state call of ``fn`` leaks no device memory.
+
+    Runs ``fn`` once un-tracked (populating jit caches, persistent-compile
+    entries, operator-held constants — all legitimate one-time residents),
+    then again under :class:`LeakTracker` while dropping the first call's
+    result, and raises ``AssertionError`` with the grouped survivor report
+    if the second call leaves more than ``allow_bytes`` of net-new live
+    buffers behind.  This is the reference's memwatch workflow (run, read
+    the unfreed-block report) recast for a runtime with garbage collection:
+    growth per *steady-state* call is what an iterative solver must not
+    have.
+    """
+    import gc
+
+    result = fn(*args, **kwargs)
+    del result
+    gc.collect()
+    lt = LeakTracker()
+    lt.start()
+    result = fn(*args, **kwargs)
+    del result
+    gc.collect()
+    report = lt.stop()
+    if report.new_bytes > allow_bytes:
+        raise AssertionError(str(report))
+    return report

@@ -102,3 +102,64 @@ def test_meminfo_snapshot_and_memwatch(capsys):
         x.block_until_ready()
     out = capsys.readouterr().out
     assert "test-region" in out
+
+
+def test_leaktracker_catches_a_leak_and_leak_check_passes_clean():
+    """Leak tracking (memwatch parity, SURVEY #20): an array created inside
+    the region and kept alive is reported with its shape group; a pure
+    function passes leak_check."""
+    import jax.numpy as jnp
+
+    from gcge_tpu.utils.meminfo import LeakTracker, leak_check
+
+    holder = []
+    lt = LeakTracker().start()
+    holder.append(jnp.ones((257, 3), jnp.float32) * 2.0)
+    holder[-1].block_until_ready()
+    rep = lt.stop()
+    assert rep.new_arrays >= 1
+    assert ((257, 3), "float32") in rep.groups
+    assert "float32" in str(rep)
+
+    def clean(x):
+        return (x * 2.0 + 1.0).block_until_ready()
+
+    rep2 = leak_check(clean, jnp.ones((64, 4)))
+    assert rep2.new_bytes == 0
+
+    def leaky(x):
+        holder.append(jnp.zeros((129, 5)) + x[0, 0])
+        holder[-1].block_until_ready()
+        return x
+
+    try:
+        leak_check(leaky, jnp.ones((8, 8)))
+    except AssertionError as e:
+        assert "129" in str(e)
+    else:
+        raise AssertionError("leak_check missed a held buffer")
+
+
+def test_gcg_solve_steady_state_does_not_leak():
+    """The operational memwatch question: a steady-state gcg_solve call must
+    not grow the live-buffer census (the reference's 'no unfreed blocks'
+    report, test/memwatch.c)."""
+    import numpy as np
+    import scipy.sparse as sps
+
+    from gcge_tpu.ops.operators import make_operator
+    from gcge_tpu.solvers.gcg import GCGParams, gcg_solve
+    from gcge_tpu.utils.meminfo import leak_check
+
+    n = 400
+    a = sps.diags([-np.ones(n - 1), 2.0 * np.ones(n), -np.ones(n - 1)],
+                  [-1, 0, 1]).tocoo()
+    op = make_operator(a.row, a.col, a.data, (n, n))
+    params = GCGParams(nev=4, block_size=2, max_iter=8, verbose=0)
+
+    def run():
+        res = gcg_solve(op, None, params)
+        np.asarray(res.eval)  # force materialization
+        return None
+
+    leak_check(run)
