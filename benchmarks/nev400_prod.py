@@ -27,11 +27,15 @@ from gcge_tpu.ops.operators import make_operator
 from gcge_tpu.solvers.gcg import GCGParams, gcg_solve
 
 NX = int(os.environ.get("NEV400_NX", 44))
+FUSE = int(os.environ.get("NEV400_FUSE", 10))
+BS = int(os.environ.get("NEV400_BS", 80))
+NEVMAX = int(os.environ.get("NEV400_NEVMAX", 0))   # 0 -> auto (2*nev)
 rows, cols, vals, n = build_3d27(NX)
 dia64 = make_operator(rows, cols, vals, (n, n))
-print(f"n={n}", flush=True)
-params = GCGParams(nev=400, block_size=80, max_iter=200, verbose=1,
-                   cg_max_iter=30, fuse=10, cg_mixed=True, cg_refine=2,
+print(f"n={n} fuse={FUSE} bs={BS} nev_max={NEVMAX or 'auto'}", flush=True)
+params = GCGParams(nev=400, block_size=BS, nev_max=NEVMAX, max_iter=200,
+                   verbose=1,
+                   cg_max_iter=30, fuse=FUSE, cg_mixed=True, cg_refine=2,
                    cg_auto_shift=True)
 t0 = time.perf_counter()
 res = gcg_solve(dia64, None, params)

@@ -47,13 +47,19 @@ def timeit(name, fn, *args, reps=20):
           flush=True)
 
 
-for bs in (40, 16):
+BS_LIST = tuple(int(b) for b in
+                os.environ.get("ONEHOT_BS", "10,40").split(","))
+DF64 = os.environ.get("ONEHOT_DF64", "1") == "1"
+CONFIGS = ((256, 256, 128), (256, 512, 256), (512, 512, 256),
+           (128, 256, 128), (256, 256, 256), (128, 128, 128),
+           (128, 128, 256), (256, 128, 128), (128, 256, 256))
+
+for bs in BS_LIST:
     xt = jnp.asarray(rng.standard_normal((bs, n)), jnp.float32)
     # gather-ELL baseline
     ell = SparseOperator.from_coo(r2, c2, av, (n, n), dtype=jnp.float32)
     timeit(f"ELL gather bs={bs}", jax.jit(lambda x: ell.matvec(x.T).T), xt)
-    for (rt, wt, jm) in ((256, 256, 128), (256, 512, 256), (512, 512, 256),
-                         (128, 256, 128), (256, 256, 256)):
+    for (rt, wt, jm) in CONFIGS:
         op = OneHotOperator.from_coo(r2, c2, av, (n, n), r_tile=rt,
                                      w_tile=wt, j_max=jm)
         s = op.stats
@@ -64,6 +70,15 @@ for bs in (40, 16):
         except Exception as e:
             print(f"{name}: FAILED {type(e).__name__} {str(e)[:160]}",
                   flush=True)
+            continue
+        if DF64:
+            xt64 = jnp.asarray(np.asarray(xt), jnp.float64)
+            try:
+                timeit(name.replace("onehot", "oh df64"),
+                       jax.jit(op.matvec_t_df64), xt64)
+            except Exception as e:
+                print(f"{name} df64: FAILED {type(e).__name__} "
+                      f"{str(e)[:160]}", flush=True)
     # correctness spot check on the last config
     y = np.asarray(op.matvec_t(xt))
     import scipy.sparse as _s
