@@ -523,6 +523,65 @@ def _onehot_spmm_t_df64(t_ids, w_ids, rloc, cloc, vhi, vlo, xhi, xlo,
     return ohi[:bs], olo[:bs]
 
 
+def pack_onehot_sharded(rows, cols, vals, n: int, ndev: int,
+                        r_tile: int = 256, w_tile: int = 256,
+                        j_max: int = 128):
+    """Per-device one-hot packs for a row-sharded irregular operator.
+
+    Device ``s`` owns rows ``[s*ln, (s+1)*ln)`` (``ln = n / ndev``; n must
+    divide) and sees x through a HALO WINDOW ``[s*ln - hl, (s+1)*ln + hr)``
+    where ``hl/hr`` bound the column reach of any nonzero (RCM keeps them
+    small).  Each device's nonzeros are re-indexed into *window
+    coordinates* — rows shifted by ``hl`` too, so the local problem stays
+    SQUARE of size ``nw = ln + hl + hr`` and the square kernels run
+    unchanged; the local result is the ``[hl, hl+ln)`` slice.  All packs are
+    padded to one static pair count (max over devices, zero-value pairs
+    carrying each device's own last tile id) and stacked on a leading device
+    axis, ready to shard with ``PartitionSpec('rows', ...)``.
+
+    Returns ``(t_ids, w_ids, rloc, cloc, pvals, pvals_lo)`` stacked as
+    ``(ndev, P_max[, J])`` plus ``(hl, hr, nw, n_pad, ln)``.
+    """
+    rows = np.asarray(rows); cols = np.asarray(cols)
+    vals = np.asarray(vals)
+    assert n % ndev == 0, f"n={n} must divide over {ndev} devices"
+    ln = n // ndev
+    hl = int(max(0, (rows - cols).max(initial=0)))
+    hr = int(max(0, (cols - rows).max(initial=0)))
+    nw = ln + hl + hr
+    packs = []
+    for s in range(ndev):
+        sel = (rows >= s * ln) & (rows < (s + 1) * ln)
+        r_loc = rows[sel] - s * ln + hl
+        c_loc = cols[sel] - s * ln + hl   # window starts at s*ln - hl
+        packs.append(pack_onehot(r_loc, c_loc, vals[sel], nw,
+                                 r_tile, w_tile, j_max))
+    n_pad = packs[0][6]
+    p_max = _round_up(max(p[0].shape[0] for p in packs), 8)
+
+    def padp(a, tid_last):
+        pad = p_max - a.shape[0]
+        if pad == 0:
+            return a
+        if a.ndim == 1:
+            fill = np.full(pad, tid_last, a.dtype) if a is not None else None
+            return np.concatenate([a, fill])
+        return np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+
+    stacked = []
+    for k in range(6):   # t_ids, w_ids, rloc, cloc, pvals, pvals_lo
+        parts = []
+        for p in packs:
+            a = p[k]
+            tid_last = p[0][-1] if k < 2 else 0  # pad t AND w with last ids
+            if k == 1:
+                tid_last = p[1][-1]
+            parts.append(padp(a, tid_last))
+        stacked.append(np.stack(parts))
+    t_ids, w_ids, rloc, cloc, pvals, pvals_lo = stacked
+    return (t_ids, w_ids, rloc, cloc, pvals, pvals_lo), (hl, hr, nw, n_pad, ln)
+
+
 @jax.tree_util.register_pytree_node_class
 class OneHotOperator:
     """Irregular sparse operator in windowed one-hot pair layout (f32).

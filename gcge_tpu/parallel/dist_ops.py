@@ -51,6 +51,59 @@ def _mv_spec_for(mesh: Mesh, x) -> P:
 
 
 @jax.tree_util.register_pytree_node_class
+class OneHotShardPack(LinearOperator):
+    """Row-sharded irregular operator in per-device one-hot pair layout.
+
+    Storage is the stacked output of
+    :func:`gcge_tpu.ops.onehot_pallas.pack_onehot_sharded`: device ``s``
+    holds the one-hot pairs of its row block re-indexed into its halo-window
+    coordinates, so the local SpMM is the UNCHANGED square one-hot MXU
+    kernel on a ``nw = ln + hl + hr`` window — the irregular-matrix analogue
+    of the DIA neighbor-halo path (and of the reference's distributed CCS
+    SpMM, ``app_slepc.c:155-216``).  Both the f32 and the full-f64 df64
+    kernels ride it.
+    """
+
+    def __init__(self, t_ids, w_ids, rloc, cloc, pvals, pvals_lo,
+                 n: int, hl: int, hr: int, nw: int, n_pad: int, ln: int,
+                 r_tile: int, w_tile: int):
+        self.t_ids, self.w_ids = t_ids, w_ids
+        self.rloc, self.cloc = rloc, cloc
+        self.pvals, self.pvals_lo = pvals, pvals_lo
+        self.n, self.hl, self.hr = int(n), int(hl), int(hr)
+        self.nw, self.n_pad, self.ln = int(nw), int(n_pad), int(ln)
+        self.r_tile, self.w_tile = int(r_tile), int(w_tile)
+
+    @property
+    def shape(self):
+        return (self.n, self.n)
+
+    @property
+    def dtype(self):
+        return jnp.float64
+
+    def local_op(self):
+        """Per-device square OneHotOperator over the halo window (call
+        inside shard_map: the leading device axis must already be local)."""
+        from gcge_tpu.ops.onehot_pallas import OneHotOperator
+
+        return OneHotOperator(
+            self.t_ids[0], self.w_ids[0], self.rloc[0], self.cloc[0],
+            self.pvals[0], self.pvals_lo[0], self.nw, self.n_pad,
+            self.r_tile, self.w_tile)
+
+    def tree_flatten(self):
+        return ((self.t_ids, self.w_ids, self.rloc, self.cloc, self.pvals,
+                 self.pvals_lo),
+                (self.n, self.hl, self.hr, self.nw, self.n_pad, self.ln,
+                 self.r_tile, self.w_tile))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+@jax.tree_util.register_pytree_node_class
 class RowShardedOperator(LinearOperator):
     """Operator with rows sharded over the ``"rows"`` mesh axis.
 
@@ -96,6 +149,9 @@ class RowShardedOperator(LinearOperator):
                 out_specs=xspec,
                 check_vma=False,
             )(inner.values, inner.indices, x)
+
+        if isinstance(inner, OneHotShardPack):
+            return self._onehot_matvec(x)
 
         if isinstance(inner, DiaOperator):
             return self._dia_matvec(x)
@@ -269,6 +325,71 @@ class RowShardedOperator(LinearOperator):
             out_specs=xspec, check_vma=False,
         )(*vals_args, x)
 
+    def _onehot_matvec(self, x):
+        """Irregular SpMM with neighbor-halo exchange on one-hot packs.
+
+        The mirror of :meth:`_dia_matvec` for arbitrary (RCM-banded)
+        patterns: two ``ppermute`` halo messages assemble each device's x
+        window, then the square one-hot MXU kernel runs on the window and
+        the local result is its ``[hl, hl+ln)`` row slice.  Window positions
+        outside the global matrix are never referenced by any pair (packs
+        index only real nonzero columns), so wraparound halo rows are inert.
+        Falls back to all-gather + window slice when the band exceeds the
+        local block.  f64 input rides the df64 kernel, f32 the f32 kernel;
+        off-TPU the kernels run in interpret mode (CPU-mesh tests).
+        """
+        inner, mesh = self.inner, self.mesh
+        ndev = mesh.shape[ROWS]
+        xspec = _mv_spec_for(mesh, x)
+        hl, hr, ln, nw = inner.hl, inner.hr, inner.ln, inner.nw
+        halo_ok = ndev > 1 and hl <= ln and hr <= ln
+        f64 = x.dtype == jnp.float64
+        arrs = (inner.t_ids, inner.w_ids, inner.rloc, inner.cloc,
+                inner.pvals, inner.pvals_lo)
+        aspecs = (P(ROWS, None),) * 2 + (P(ROWS, None, None),) * 4
+        meta = (inner.n, hl, hr, nw, inner.n_pad, ln,
+                inner.r_tile, inner.w_tile)
+
+        def apply_window(pack_arrs, xw):
+            local = OneHotShardPack(*pack_arrs, *meta).local_op()
+            xt = xw.T
+            yt = local.matvec_t_df64(xt) if f64 else local.matvec_t(
+                xt.astype(jnp.float32)).astype(x.dtype)
+            return yt[:, hl:hl + ln].T
+
+        if ndev == 1:
+            def f1(*args):
+                *pack, x_local = args
+                xw = jnp.pad(x_local, ((hl, hr), (0, 0)))
+                return apply_window(pack, xw)
+        elif halo_ok:
+            fwd = [(i, (i + 1) % ndev) for i in range(ndev)]
+            bwd = [(i, (i - 1) % ndev) for i in range(ndev)]
+
+            def f(*args):
+                *pack, x_local = args
+                left = jax.lax.ppermute(x_local[ln - hl:], ROWS, fwd) \
+                    if hl else jnp.zeros((0, x_local.shape[1]), x_local.dtype)
+                right = jax.lax.ppermute(x_local[:hr], ROWS, bwd) \
+                    if hr else jnp.zeros((0, x_local.shape[1]), x_local.dtype)
+                xw = jnp.concatenate([left, x_local, right], axis=0)
+                return apply_window(pack, xw)
+        else:
+            def f(*args):
+                *pack, x_local = args
+                xg = jax.lax.all_gather(x_local, ROWS, axis=0, tiled=True)
+                xpad = jnp.pad(xg, ((hl, hr), (0, 0)))
+                r0 = jax.lax.axis_index(ROWS) * ln
+                xw = jax.lax.dynamic_slice(
+                    xpad, (r0, jnp.int32(0)), (nw, x_local.shape[1]))
+                return apply_window(pack, xw)
+
+        return shard_map(
+            f1 if ndev == 1 else f, mesh=mesh,
+            in_specs=(*aspecs, xspec),
+            out_specs=xspec, check_vma=False,
+        )(*arrs, x)
+
     def tree_flatten(self):
         return (self.inner,), (self.mesh,)
 
@@ -281,6 +402,31 @@ def shard_operator(op: LinearOperator, mesh: Mesh) -> LinearOperator:
     """Row-shard an operator's storage and wrap it for mesh execution."""
     if op is None:
         return None
+    from gcge_tpu.ops.operators import EllOneHotOperator
+    if isinstance(op, EllOneHotOperator):
+        import numpy as np
+
+        from gcge_tpu.ops.onehot_pallas import pack_onehot_sharded
+
+        # recover the COO triplets from the pair layout (padded slots carry
+        # exactly-zero values; drop them), then repack per device
+        oh = op.oh
+        gr = np.asarray(oh.t_ids)[:, None] * oh.r_tile + np.asarray(oh.rloc)
+        gc = np.asarray(oh.w_ids)[:, None] * oh.w_tile + np.asarray(oh.cloc)
+        vh = np.asarray(oh.pvals)
+        v = vh.astype(np.float64) + np.asarray(oh.pvals_lo, np.float64)
+        keep = vh.reshape(-1) != 0.0
+        ndev = mesh.shape[ROWS]
+        arrs, (hl, hr, nw, n_pad, ln) = pack_onehot_sharded(
+            gr.reshape(-1)[keep], gc.reshape(-1)[keep], v.reshape(-1)[keep],
+            oh.n, ndev, oh.r_tile, oh.w_tile, oh.rloc.shape[1])
+        sh2 = NamedSharding(mesh, P(ROWS, None))
+        sh3 = NamedSharding(mesh, P(ROWS, None, None))
+        arrs = tuple(jax.device_put(jnp.asarray(a), sh2 if a.ndim == 2 else sh3)
+                     for a in arrs)
+        inner = OneHotShardPack(*arrs, oh.n, hl, hr, nw, n_pad, ln,
+                                oh.r_tile, oh.w_tile)
+        return RowShardedOperator(inner, mesh)
     if isinstance(op, SparseOperator):
         inner = SparseOperator(
             shard_rows(mesh, op.values), shard_rows(mesh, op.indices), op.n_cols
