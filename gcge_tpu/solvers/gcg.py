@@ -539,6 +539,28 @@ def _compute_w(a_op, b_op, v, ritz, ss_eval, act_idx, act_cnt, sigma,
                                       precond=precond_t)
                 w = w + d.T.astype(v.dtype)
                 niters = niters + info.niters
+        elif type(a_op).__name__ == "RowShardedOperator":
+            # distributed: the sharded matvec dispatches on the input dtype
+            # (f32 rides the f32 one-hot / halo kernels where the inner
+            # layout supports it), so the f32 stages run the SAME collective
+            # structure as the f64 applies — no extra communication paths to
+            # validate.  Row-major (n, m) orientation: the sharded entry
+            # point's native layout.
+            def mv32(y):
+                by = y if b32 is None else b32[:, None] * y
+                return a_op.matvec(y) + s32 * by
+
+            precond32 = None
+            if precond is not None:
+                def precond32(r):
+                    return precond(r.astype(v.dtype)).astype(jnp.float32)
+            for _ in range(refine):
+                r = (rhs - shifted(w)) * fmask[None, :]
+                r32 = r.astype(jnp.float32)
+                d, info = block_pcg(mv32, r32, jnp.zeros_like(r32), stage_cg,
+                                    active0=colmask, precond=precond32)
+                w = w + d.astype(v.dtype)
+                niters = niters + info.niters
         else:
             # ELL / Hybrid (irregular matrices): gather layout — keep the
             # (n, m) orientation (row gathers; a lane-axis gather would be

@@ -560,3 +560,22 @@ def test_distributed_gcg_onehot(mesh):
     exact = laplacian_1d_eigs(n)[:6]
     assert res.nev_conv >= 6
     np.testing.assert_allclose(res.eval[:6], exact, rtol=1e-7)
+
+
+def test_distributed_gcg_onehot_mixed_cg(mesh):
+    """cg_mixed over the mesh: the f32 inner stages run the sharded one-hot
+    f32 kernel path, f64 refreshes the df64 path."""
+    from gcge_tpu.ops.operators import EllOneHotOperator
+
+    n = 512
+    a, h = laplacian_1d(n)
+    rows, cols = np.nonzero(a)
+    op_d = shard_operator(
+        EllOneHotOperator.from_coo(rows, cols, a[rows, cols], a.shape,
+                                   r_tile=64, w_tile=64, j_max=128), mesh)
+    p = GCGParams(nev=6, block_size=3, max_iter=100, verbose=0,
+                  cg_mixed=True, cg_refine=2)
+    res = gcg_solve(op_d, None, p, mesh=mesh)
+    exact = laplacian_1d_eigs(n)[:6]
+    assert res.nev_conv >= 6
+    np.testing.assert_allclose(res.eval[:6], exact, rtol=1e-7)
