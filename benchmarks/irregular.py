@@ -115,11 +115,23 @@ def main():
     # (the reference's own scale-tuning range, submit.sh:18-19 uses 35-60)
     # produces better W corrections per iteration; 30x2 lands at the same
     # wall (156.7s, 273 iters) on more, cheaper iterations.
+    precond = None
+    mg = int(os.environ.get("IRREG_MG", 0))   # >0: AMG-preconditioned inner CG
+    if mg:
+        from gcge_tpu.solvers.multigrid import (bamg_preconditioner,
+                                                build_hierarchy)
+
+        t0 = time.perf_counter()
+        hier = build_hierarchy(r2, c2, av, n, max_levels=mg)
+        precond = bamg_preconditioner(hier)
+        print(f"AMG setup: {time.perf_counter()-t0:.1f}s "
+              f"levels={hier.num_levels}", flush=True)
     params = GCGParams(nev=NEV, block_size=max(NEV // 5, 1), max_iter=300,
                        verbose=1,
                        cg_max_iter=int(os.environ.get("IRREG_CG", 60)),
                        cg_refine=int(os.environ.get("IRREG_REFINE", 3)),
                        fuse=10,
+                       linear_precond=precond,
                        cg_mixed=os.environ.get("IRREG_MIXED", "1") == "1",
                        cg_auto_shift=os.environ.get("IRREG_SHIFT", "1") == "1")
     t0 = time.perf_counter()
