@@ -27,6 +27,9 @@ from gcge_tpu.ops.operators import make_operator
 from gcge_tpu.solvers.gcg import GCGParams, gcg_solve
 
 NX = int(os.environ.get("NEV400_NX", 44))
+if os.path.exists(f"/root/repo/.scratch/SKIP_NX{NX}"):
+    print(f"skipping NX={NX} (skip marker present)", flush=True)
+    raise SystemExit(0)
 FUSE = int(os.environ.get("NEV400_FUSE", 10))
 BS = int(os.environ.get("NEV400_BS", 80))
 NEVMAX = int(os.environ.get("NEV400_NEVMAX", 0))   # 0 -> auto (2*nev)
