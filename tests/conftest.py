@@ -25,8 +25,15 @@ import jax  # noqa: E402
 if not _USE_TPU:
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Tests keep their own persistent cache, SEPARATE from the production/bench
+# .jax_cache: a concurrently-running (or killed mid-write) TPU job can leave
+# truncated entries, and deserializing one SEGFAULTS the process (observed:
+# full-suite run reading an entry written by a timed-out run died in
+# compilation_cache.get_executable_and_time).  CPU test keys never match TPU
+# keys, so sharing bought nothing.
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+                  os.path.join(os.path.dirname(__file__), "..",
+                               ".jax_cache_tests"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
