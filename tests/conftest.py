@@ -25,16 +25,13 @@ import jax  # noqa: E402
 if not _USE_TPU:
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# Tests keep their own persistent cache, SEPARATE from the production/bench
-# .jax_cache: a concurrently-running (or killed mid-write) TPU job can leave
-# truncated entries, and deserializing one SEGFAULTS the process (observed:
-# full-suite run reading an entry written by a timed-out run died in
-# compilation_cache.get_executable_and_time).  CPU test keys never match TPU
-# keys, so sharing bought nothing.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..",
-                               ".jax_cache_tests"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NO persistent compile cache for the test suite.  Three full-suite runs
+# died inside the cache layer (observed 2026-08-20): SIGSEGV deserializing
+# an entry truncated by a timed-out run (get_executable_and_time), and
+# SIGABRT serializing a large eigh_newton executable fresh
+# (put_executable_and_time) — both in test_stress's many-variant compiles.
+# CPU test compiles are cheap; stability wins.  Production/bench runs keep
+# their own .jax_cache (TPU keys, different processes).
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -36,8 +36,6 @@ def test_two_process_distributed_gcg(tmp_path):
     worker = os.path.join(os.path.dirname(__file__), "multiproc_worker.py")
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
-    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
-        os.path.dirname(__file__), "..", ".jax_cache_tests")
     procs = [
         subprocess.Popen(
             [sys.executable, "-u", worker, str(pid), "2", str(port), str(out)],
