@@ -305,3 +305,24 @@ def test_api_pas_knobs_and_coarse_nev():
     assert res.nev_conv >= nev
     np.testing.assert_allclose(res.eval, laplacian_1d_eigs(n)[:nev],
                                rtol=1e-6)
+
+
+def test_tuned_defaults_profile():
+    """api.solve applies the production TPU profile as overridable defaults
+    (PERFORMANCE.md parameterization), and stays hands-off where it must."""
+    import numpy as np
+
+    from gcge_tpu.api import _tuned_defaults
+
+    t = _tuned_defaults("tpu", "gcg", False, None)
+    assert t["fuse"] > 0 and t["cg_auto_shift"] and t["cg_mixed"]
+    # generalized sparse B: mixed CG unsupported -> not defaulted on
+    import scipy.sparse as sps
+    t2 = _tuned_defaults("tpu", "gcg", False, sps.identity(5).tocsr())
+    assert "cg_mixed" not in t2 and t2["fuse"] > 0
+    # diagonal B as 1-D array: mixed ok
+    assert _tuned_defaults("tpu", "gcg", False, np.ones(5))["cg_mixed"]
+    # off-TPU / pas / distributed: untouched
+    assert _tuned_defaults("cpu", "gcg", False, None) == {}
+    assert _tuned_defaults("tpu", "pas", False, None) == {}
+    assert _tuned_defaults("tpu", "gcg", "rows", None) == {}
