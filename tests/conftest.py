@@ -25,13 +25,36 @@ import jax  # noqa: E402
 if not _USE_TPU:
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# NO persistent compile cache for the test suite.  Three full-suite runs
-# died inside the cache layer (observed 2026-08-20): SIGSEGV deserializing
-# an entry truncated by a timed-out run (get_executable_and_time), and
-# SIGABRT serializing a large eigh_newton executable fresh
-# (put_executable_and_time) — both in test_stress's many-variant compiles.
-# CPU test compiles are cheap; stability wins.  Production/bench runs keep
-# their own .jax_cache (TPU keys, different processes).
+# NO persistent compile cache for the test suite.  Full-suite runs died
+# inside the cache layer (observed 2026-08-20); see the map-count note
+# below for the root cause.  CPU test compiles are cheap; stability wins.
+# Production/bench runs keep their own .jax_cache (TPU keys, separate
+# processes).
+
+
+def _raise_map_count_limit():
+    """Full-suite crash fix: every XLA:CPU executable the suite compiles
+    stays loaded (~45 memory mappings each with 8 virtual devices; the
+    solver tests alone accumulate ~28k), and once the process crosses
+    ``vm.max_map_count`` (default 65530) the next mmap fails inside
+    XLA compile/load — observed as SIGSEGV/SIGABRT in
+    ``backend_compile_and_load`` / the compile-cache serializer, always in
+    the first compile-heavy test after enough accumulation
+    (test_stress.py).  ``jax.clear_caches()`` does not release the
+    mappings, so the bound itself must move: best-effort bump (needs
+    root, which this image's test environment has); silently skipped
+    elsewhere."""
+    try:
+        with open("/proc/sys/vm/max_map_count") as f:
+            cur = int(f.read().strip())
+        if cur < 262144:
+            with open("/proc/sys/vm/max_map_count", "w") as f:
+                f.write("262144")
+    except (OSError, ValueError):
+        pass
+
+
+_raise_map_count_limit()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
