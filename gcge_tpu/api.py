@@ -79,19 +79,28 @@ def eigsh(a, k: int = 6, M=None, which: str = "SM", v0=None,
     return np.asarray(ev[:k]), np.asarray(evec)[:, :k]
 
 
-def _tuned_defaults(backend: str, method: str, distribute, b) -> dict:
+def _tuned_defaults(backend: str, method: str, distribute, b,
+                    nev: int = 0) -> dict:
     """Production-tuned TPU profile applied as DEFAULTS by :func:`solve`
     (any explicit kwarg wins): fused dispatch chunks, mixed-precision inner
     CG riding the f32 Pallas kernels, auto shift — the bench/PERFORMANCE.md
     parameterization.  Measured through the public surface at nev=50,
     n=157k: 24.8 s untuned -> ~2.5 s tuned.  The mixed inner CG requires
     B = None or diagonal; restricted to the single-device gcg path
-    (distributed/pas keep explicit control)."""
+    (distributed/pas keep explicit control).
+
+    Huge-nev exception: past nev ~250 (projected m ~700 at the auto
+    blocking) the FUSED chunk's remote compile cost turns superlinear and
+    never finishes (PERFORMANCE.md 'Compile-cost anatomy'), while the
+    phased path compiles in minutes and its per-phase dispatch overhead is
+    noise against multi-second iterations at that size — so the fuse
+    default drops to 0 there."""
     if backend != "tpu" or method != "gcg" or distribute:
         return {}
     from gcge_tpu.ops.operators import DiagOperator, IdentityOperator
 
-    tuned = {"fuse": 20, "cg_auto_shift": True, "cg_refine": 2}
+    tuned = {"fuse": 20 if nev < 250 else 0, "cg_auto_shift": True,
+             "cg_refine": 2}
     if b is None or (isinstance(b, np.ndarray) and b.ndim == 1) or \
             isinstance(b, (DiagOperator, IdentityOperator)):
         tuned["cg_mixed"] = True
@@ -156,7 +165,7 @@ def solve(
 
     if params is None:
         for k, v in _tuned_defaults(jax.default_backend(), method,
-                                    distribute, b).items():
+                                    distribute, b, nev).items():
             kwargs.setdefault(k, v)
         params = GCGParams(nev=nev, **kwargs)
     dtype = params.dtype

@@ -326,3 +326,13 @@ def test_tuned_defaults_profile():
     assert _tuned_defaults("cpu", "gcg", False, None) == {}
     assert _tuned_defaults("tpu", "pas", False, None) == {}
     assert _tuned_defaults("tpu", "gcg", "rows", None) == {}
+
+
+def test_tuned_defaults_huge_nev_drops_fuse():
+    """Past nev ~250 the fused chunk's compile cost is superlinear
+    (PERFORMANCE.md 'Compile-cost anatomy'): the default drops to the
+    phased path."""
+    from gcge_tpu.api import _tuned_defaults
+
+    assert _tuned_defaults("tpu", "gcg", False, None, nev=50)["fuse"] == 20
+    assert _tuned_defaults("tpu", "gcg", False, None, nev=400)["fuse"] == 0
