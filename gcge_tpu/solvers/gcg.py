@@ -1088,6 +1088,14 @@ def _gcg_solve_impl(a_op, b_op, params, x0, key, mesh) -> GCGResult:
         print("numIter\tnevConv")
 
     # ---------------- fused chunked path (one dispatch per `fuse` iters) ----
+    if p.fuse > 0 and m >= 700 and jax.default_backend() == "tpu":
+        # measured: the m=960 fused chunk never finished remote-compiling
+        # (>135 min across two attempts) while the phased programs compile
+        # in ~15 min total — see PERFORMANCE.md "Compile-cost anatomy"
+        print(f"gcge_tpu: WARNING fuse={p.fuse} with projected size m={m} "
+              f">= 700 — the fused chunk's compile cost is superlinear at "
+              f"this size and may never finish; fuse=0 is the huge-nev "
+              f"recipe", flush=True)
     if p.fuse > 0:
         act_idx_d = jnp.minimum(jnp.arange(bs, dtype=jnp.int32), size_x - 1)
         act_cnt_d = jnp.int32(bs)
