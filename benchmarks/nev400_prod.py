@@ -36,14 +36,19 @@ NEVMAX = int(os.environ.get("NEV400_NEVMAX", 0))   # 0 -> auto (2*nev)
 rows, cols, vals, n = build_3d27(NX)
 dia64 = make_operator(rows, cols, vals, (n, n))
 print(f"n={n} fuse={FUSE} bs={BS} nev_max={NEVMAX or 'auto'}", flush=True)
-params = GCGParams(nev=400, block_size=BS, nev_max=NEVMAX, max_iter=200,
+MAXIT = int(os.environ.get("NEV400_MAXIT", 200))
+ONESHOT = os.environ.get("NEV400_ONESHOT", "0") == "1"
+params = GCGParams(nev=400, block_size=BS, nev_max=NEVMAX, max_iter=MAXIT,
                    verbose=1,
                    cg_max_iter=30, fuse=FUSE, cg_mixed=True, cg_refine=2,
                    cg_auto_shift=True)
 t0 = time.perf_counter()
 res = gcg_solve(dia64, None, params)
 print(f"nev400 nx={NX} cold: {time.perf_counter()-t0:.1f}s "
-      f"iters={res.num_iter} conv={res.nev_conv}", flush=True)
+      f"iters={res.num_iter} conv={res.nev_conv} "
+      f"eval[:3]={np.asarray(res.eval[:3])}", flush=True)
+if ONESHOT:
+    raise SystemExit(0)
 t0 = time.perf_counter()
 res = gcg_solve(dia64, None, params)
 print(f"nev400 nx={NX} steady: {time.perf_counter()-t0:.1f}s "
