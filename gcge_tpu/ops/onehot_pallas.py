@@ -160,13 +160,25 @@ def pack_onehot(rows, cols, vals, n, r_tile: int = 256, w_tile: int = 256,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "r_tile", "w_tile", "n_pad", "interpret"))
+    "r_tile", "w_tile", "n_pad", "interpret", "group"))
 def _onehot_spmm_t(t_ids, w_ids, rloc, cloc, pvals, xt,
-                   r_tile: int, w_tile: int, n_pad: int, interpret: bool):
-    """Transposed one-hot SpMM: ``xt (bs, n_pad) -> y (bs, n_pad)`` f32."""
+                   r_tile: int, w_tile: int, n_pad: int, interpret: bool,
+                   group: int = 1):
+    """Transposed one-hot SpMM: ``xt (bs, n_pad) -> y (bs, n_pad)`` f32.
+
+    ``group`` > 1 processes that many consecutive pairs per grid step (the
+    pack must come through :func:`regroup_pairs`, so a step's pairs share
+    one output tile): the per-step fixed cost (DMA issue, scalar fetches,
+    accumulator branch) measured ~0.3 us/step dominates the production
+    matrix at group=1 — P~32k steps ~ 8 of the 15 ms.  The G selections
+    stay per-pair matmuls (each needs its own x window); the G scatters
+    fuse into ONE (3*bs_pad, G*J) @ (G*J, R) contraction.
+    """
     P, J = rloc.shape
     if not interpret:
         assert J % 128 == 0, f"TPU lane constraint: j_max {J} % 128 != 0"
+    assert 8 % group == 0, f"group={group} must divide 8"
+    assert P % group == 0, f"pair count {P} not grouped (use regroup_pairs)"
     bs = xt.shape[0]
     sub = 8
     bs_pad = _round_up(max(bs, sub), sub)
@@ -185,76 +197,75 @@ def _onehot_spmm_t(t_ids, w_ids, rloc, cloc, pvals, xt,
 
         rloc8, cloc8, pvals8 = pad8(rloc), pad8(cloc), pad8(pvals)
 
-    def kernel(t_ref, w_ref, rloc_ref, cloc_ref, val_ref, x_ref, o_ref):
-        p = pl.program_id(0)
+    G = group
+
+    def kernel(t_ref, w_ref, rloc_ref, cloc_ref, val_ref, *refs):
+        x_refs, o_ref = refs[:G], refs[G]
+        s = pl.program_id(0)
+        base = s * jnp.int32(G)
         is_first = jnp.logical_or(
-            p == 0, t_ref[p] != t_ref[jnp.maximum(p - 1, 0)])
+            base == 0, t_ref[base] != t_ref[jnp.maximum(base - 1, 0)])
 
         @pl.when(is_first)
         def _():
             o_ref[:] = jnp.zeros_like(o_ref)
 
-        # stay in i32: a python-int operand promotes to i64 under x64 and
-        # Mosaic's convert lowering recurses on 64-bit ints
-        r = jax.lax.rem(p, jnp.int32(8))
-        cl = cloc_ref[r, :]                                   # (J,)
-        rl = rloc_ref[r, :]
-        vl = val_ref[r, :]
         one = jnp.float32(1.0)
         zero = jnp.float32(0.0)
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (w_tile, J), 0)
-        q = jnp.where(iota_w == cl[None, :], one, zero).astype(
-            jnp.bfloat16)                                     # (W, J)
-        # precision via exact bf16 plane splits instead of HIGHEST matmuls:
-        # a HIGHEST f32 dot costs ~6 bf16 MXU passes per operand pair, but
-        # the one-hot operand is EXACT in bf16 and both contractions only
-        # need the DATA operand decomposed — the exact bf16 triple split
-        # (24 mantissa bits = 3 x 8) gives (a) an exact selection in 3
-        # single passes and (b) a scatter whose per-term products are exact
-        # and whose f32 accumulation error matches the HIGHEST dot's, in 3
-        # single passes.  Net: 6 bf16 passes vs ~12 — measured ~2x, same
-        # ~1e-6 accuracy class (tests/test_onehot.py).
-        #
-        # The planes are STACKED along the M (sublane) dimension and issued
-        # as ONE matmul per contraction: separate plane dots have M = bs_pad
-        # (16 at the production block size) and use 16/128 of the MXU's
-        # rows; the stacked (3*bs_pad, W) @ (W, J) and (3*bs_pad, J) @
-        # (J, R) forms recover 3x of that without changing a single
-        # rounding (the f32 recombination order is identical).
-        h1, h2, h3 = _bf16_planes3(x_ref[:])
-        hs = jnp.concatenate([h1, h2, h3], axis=0)            # (3*bs, W)
-        gs = jnp.dot(hs, q, preferred_element_type=jnp.float32)
-        g = (gs[:bs_pad] + gs[bs_pad:2 * bs_pad]) + gs[2 * bs_pad:]
-        g = g * vl[None, :]                                   # (bs, J)
         iota_r = jax.lax.broadcasted_iota(jnp.int32, (J, r_tile), 1)
-        pm = jnp.where(iota_r == rl[:, None], one, zero).astype(
-            jnp.bfloat16)                                     # (J, R)
-        g1, g2, g3 = _bf16_planes3(g)
-        gp = jnp.concatenate([g1, g2, g3], axis=0)            # (3*bs, J)
+        g_planes = []   # per pair: (3*bs_pad, J) bf16 planes of g
+        pms = []        # per pair: (J, R) bf16 scatter one-hot
+        for g in range(G):
+            # stay in i32: a python-int operand promotes to i64 under x64
+            # and Mosaic's convert lowering recurses on 64-bit ints
+            r = jax.lax.rem(base + jnp.int32(g), jnp.int32(8))
+            cl = cloc_ref[r, :]                               # (J,)
+            rl = rloc_ref[r, :]
+            vl = val_ref[r, :]
+            q = jnp.where(iota_w == cl[None, :], one, zero).astype(
+                jnp.bfloat16)                                 # (W, J)
+            # precision via exact bf16 plane splits instead of HIGHEST
+            # matmuls — see the module docstring cost model.  Planes are
+            # STACKED along M into one (3*bs_pad, W) selection matmul and
+            # one (3*bs_pad, G*J) scatter matmul; recombination order is
+            # identical to per-plane dots (bit-identical results).
+            h1, h2, h3 = _bf16_planes3(x_refs[g][:])
+            hs = jnp.concatenate([h1, h2, h3], axis=0)        # (3*bs, W)
+            gs = jnp.dot(hs, q, preferred_element_type=jnp.float32)
+            gg = (gs[:bs_pad] + gs[bs_pad:2 * bs_pad]) + gs[2 * bs_pad:]
+            gg = gg * vl[None, :]                             # (bs, J)
+            g1, g2, g3 = _bf16_planes3(gg)
+            g_planes.append(jnp.concatenate([g1, g2, g3], axis=0))
+            pms.append(jnp.where(iota_r == rl[:, None], one, zero).astype(
+                jnp.bfloat16))                                # (J, R)
+        gp = g_planes[0] if G == 1 else jnp.concatenate(g_planes, axis=1)
+        pm = pms[0] if G == 1 else jnp.concatenate(pms, axis=0)  # (G*J, R)
         ys = jnp.dot(gp, pm, preferred_element_type=jnp.float32)
         o_ref[:] += (ys[:bs_pad] + ys[bs_pad:2 * bs_pad]) + ys[2 * bs_pad:]
 
+    def xspec(g):
+        return pl.BlockSpec(
+            (bs_pad, w_tile),
+            lambda p, t, w, g=g: (p * 0, w[p * jnp.int32(G) + jnp.int32(g)]),
+            memory_space=pltpu.VMEM)
+
+    pair_spec = pl.BlockSpec(
+        (8, J),
+        lambda p, t, w: (jax.lax.div(p * jnp.int32(G), jnp.int32(8)), p * 0),
+        memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(P,),
+        grid=(P8 // G,),
         # index maps: all-i32 arithmetic (python-int operands promote to i64
         # under x64, which Mosaic cannot lower); zero = p * 0 keeps one
         # consistent integer type across the returned tuple
-        in_specs=[
-            pl.BlockSpec((8, J),
-                         lambda p, t, w: (jax.lax.div(p, jnp.int32(8)), p * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, J),
-                         lambda p, t, w: (jax.lax.div(p, jnp.int32(8)), p * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, J),
-                         lambda p, t, w: (jax.lax.div(p, jnp.int32(8)), p * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs_pad, w_tile), lambda p, t, w: (p * 0, w[p]),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bs_pad, r_tile), lambda p, t, w: (p * 0, t[p]),
-                               memory_space=pltpu.VMEM),
+        in_specs=[pair_spec, pair_spec, pair_spec]
+        + [xspec(g) for g in range(G)],
+        out_specs=pl.BlockSpec(
+            (bs_pad, r_tile),
+            lambda p, t, w: (p * 0, t[p * jnp.int32(G)]),
+            memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         kernel,
@@ -270,7 +281,7 @@ def _onehot_spmm_t(t_ids, w_ids, rloc, cloc, pvals, xt,
             bytes_accessed=P * J * 12 + 2 * bs_pad * n_pad * 4,
             transcendentals=0,
         ),
-    )(t_ids, w_ids, rloc8, cloc8, pvals8, xt_p)
+    )(t_ids, w_ids, rloc8, cloc8, pvals8, *([xt_p] * G))
     return out[:bs]
 
 
@@ -356,16 +367,24 @@ def _bf16_planes3(x):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "r_tile", "w_tile", "n_pad", "slices", "interpret"))
+    "r_tile", "w_tile", "n_pad", "slices", "interpret", "group"))
 def _onehot_spmm_t_df64(t_ids, w_ids, rloc, cloc, vhi, vlo, xhi, xlo,
                         r_tile: int, w_tile: int, n_pad: int, slices: int,
-                        interpret: bool):
+                        interpret: bool, group: int = 1):
     """df64 transposed one-hot SpMM: ``x = xhi + xlo (bs, n_pad) f32 planes
     -> (y_hi, y_lo) f32 planes`` with ``y_hi + y_lo ~ (A @ x)^T`` to ~2^-40
-    relative of the per-row scale."""
+    relative of the per-row scale.  ``group`` as in :func:`_onehot_spmm_t`
+    (pairs must come through :func:`regroup_pairs`); the slice scale is
+    shared across a step's pairs (rowmax over the concatenated products),
+    which keeps every contraction exact (integer partial sums
+    < G*J*2^8 < 2^24) and the remainder bound at 2^(-7*slices) of the
+    STEP's row scale — the same error class relative to the accumulated
+    row result."""
     P, J = rloc.shape
     if not interpret:
         assert J % 128 == 0, f"TPU lane constraint: j_max {J} % 128 != 0"
+    assert 8 % group == 0, f"group={group} must divide 8"
+    G = group
     bs = xhi.shape[0]
     sub = 8
     bs_pad = _round_up(max(bs, sub), sub)
@@ -384,22 +403,18 @@ def _onehot_spmm_t_df64(t_ids, w_ids, rloc, cloc, vhi, vlo, xhi, xlo,
         rloc8, cloc8 = pad8(rloc), pad8(cloc)
         vhi8, vlo8 = pad8(vhi), pad8(vlo)
 
-    def kernel(t_ref, w_ref, rloc_ref, cloc_ref, vh_ref, vl_ref,
-               xh_ref, xl_ref, ohi_ref, olo_ref):
-        p = pl.program_id(0)
+    def kernel(t_ref, w_ref, rloc_ref, cloc_ref, vh_ref, vl_ref, *refs):
+        xh_refs, xl_refs = refs[:G], refs[G:2 * G]
+        ohi_ref, olo_ref = refs[2 * G], refs[2 * G + 1]
+        base = pl.program_id(0) * jnp.int32(G)
         is_first = jnp.logical_or(
-            p == 0, t_ref[p] != t_ref[jnp.maximum(p - 1, 0)])
+            base == 0, t_ref[base] != t_ref[jnp.maximum(base - 1, 0)])
 
         @pl.when(is_first)
         def _():
             ohi_ref[:] = jnp.zeros_like(ohi_ref)
             olo_ref[:] = jnp.zeros_like(olo_ref)
 
-        r = jax.lax.rem(p, jnp.int32(8))
-        cl = cloc_ref[r, :]
-        rl = rloc_ref[r, :]
-        vh = vh_ref[r, :]
-        vl = vl_ref[r, :]
         # build the one-hots in f32 and cast: a direct bf16 select on the i1
         # compare mask hits a Mosaic relayout it cannot do ((8,128) i1 tiling
         # -> (16,128) bf16); the f32->bf16 pack of exact 0/1 values is both
@@ -407,28 +422,44 @@ def _onehot_spmm_t_df64(t_ids, w_ids, rloc, cloc, vhi, vlo, xhi, xlo,
         one = jnp.float32(1.0)
         zero = jnp.float32(0.0)
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (w_tile, J), 0)
-        q = jnp.where(iota_w == cl[None, :], one, zero).astype(
-            jnp.bfloat16)                                     # (W, J) bf16
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (J, r_tile), 1)
+        ghis, glos, pms = [], [], []
+        for g in range(G):
+          r = jax.lax.rem(base + jnp.int32(g), jnp.int32(8))
+          cl = cloc_ref[r, :]
+          rl = rloc_ref[r, :]
+          vh = vh_ref[r, :]
+          vl = vl_ref[r, :]
+          q = jnp.where(iota_w == cl[None, :], one, zero).astype(
+              jnp.bfloat16)                                   # (W, J) bf16
 
-        # exact selection: x_hi via its exact bf16 triple, x_lo via a
-        # two-plane split (error 2^-24 |x_lo| ~ 2^-48 |x|).  All five planes
-        # are STACKED along M and issued as ONE (5*bs_pad, W) @ (W, J)
-        # matmul: separate plane dots use bs_pad/128 of the MXU's rows
-        # (12.5% at the production block size); the stacked form recovers
-        # 5x of that without changing a single rounding.
-        h1, h2, h3 = _bf16_planes3(xh_ref[:])
-        l1 = xl_ref[:].astype(jnp.bfloat16)
-        l2 = (xl_ref[:] - l1.astype(jnp.float32)).astype(jnp.bfloat16)
-        hs = jnp.concatenate([h1, h2, h3, l1, l2], axis=0)    # (5*bs, W)
-        gsel = jnp.dot(hs, q, preferred_element_type=jnp.float32)
-        gxh = (gsel[:bs_pad] + gsel[bs_pad:2 * bs_pad]) + gsel[
-            2 * bs_pad:3 * bs_pad]                            # selected x_hi
-        gxl = gsel[3 * bs_pad:4 * bs_pad] + gsel[4 * bs_pad:]  # (bs, J)
+          # exact selection: x_hi via its exact bf16 triple, x_lo via a
+          # two-plane split (error 2^-24 |x_lo| ~ 2^-48 |x|).  All five
+          # planes are STACKED along M and issued as ONE (5*bs_pad, W) @
+          # (W, J) matmul: separate plane dots use bs_pad/128 of the MXU's
+          # rows (12.5% at the production block size); the stacked form
+          # recovers 5x of that without changing a single rounding.
+          h1, h2, h3 = _bf16_planes3(xh_refs[g][:])
+          l1 = xl_refs[g][:].astype(jnp.bfloat16)
+          l2 = (xl_refs[g][:] - l1.astype(jnp.float32)).astype(jnp.bfloat16)
+          hs = jnp.concatenate([h1, h2, h3, l1, l2], axis=0)  # (5*bs, W)
+          gsel = jnp.dot(hs, q, preferred_element_type=jnp.float32)
+          gxh = (gsel[:bs_pad] + gsel[bs_pad:2 * bs_pad]) + gsel[
+              2 * bs_pad:3 * bs_pad]                          # selected x_hi
+          gxl = gsel[3 * bs_pad:4 * bs_pad] + gsel[4 * bs_pad:]  # (bs, J)
 
-        # v * x as two-product + cross terms
-        ph, pe = _two_prod32(vh[None, :], gxh)
-        pe = pe + vh[None, :] * gxl + vl[None, :] * gxh
-        g_hi, g_lo = _two_sum32(ph, pe)
+          # v * x as two-product + cross terms
+          ph, pe = _two_prod32(vh[None, :], gxh)
+          pe = pe + vh[None, :] * gxl + vl[None, :] * gxh
+          ghi_g, glo_g = _two_sum32(ph, pe)
+          ghis.append(ghi_g)
+          glos.append(glo_g)
+          pms.append(jnp.where(iota_r == rl[:, None], one, zero).astype(
+              jnp.bfloat16))                                  # (J, R) bf16
+
+        g_hi = ghis[0] if G == 1 else jnp.concatenate(ghis, axis=1)
+        g_lo = glos[0] if G == 1 else jnp.concatenate(glos, axis=1)
+        pm = pms[0] if G == 1 else jnp.concatenate(pms, axis=0)  # (G*J, R)
 
         # per-row power-of-two scale: 2^floor(log2 rowmax) via exponent mask.
         # The floor must keep scale * 2^(-7*slices) NORMAL: the TPU flushes
@@ -442,10 +473,6 @@ def _onehot_spmm_t_df64(t_ids, w_ids, rloc, cloc, vhi, vlo, xhi, xlo,
         bits = jax.lax.bitcast_convert_type(rowmax, jnp.int32)
         sigma = jax.lax.bitcast_convert_type(
             jnp.bitwise_and(bits, jnp.int32(0x7F800000)), jnp.float32)
-
-        iota_r = jax.lax.broadcasted_iota(jnp.int32, (J, r_tile), 1)
-        pm = jnp.where(iota_r == rl[:, None], one, zero).astype(
-            jnp.bfloat16)                                     # (J, R) bf16
 
         # integer-slice scatter: every MXU contraction below is EXACT
         # (integer operands <= 2^8, partial sums < 2^24 in the f32
@@ -484,33 +511,27 @@ def _onehot_spmm_t_df64(t_ids, w_ids, rloc, cloc, vhi, vlo, xhi, xlo,
         ohi_ref[:], e = _two_sum32(ohi_ref[:], pair_hi)
         olo_ref[:] += e + pair_lo
 
+    pair_spec = pl.BlockSpec(
+        (8, J),
+        lambda p, t, w: (jax.lax.div(p * jnp.int32(G), jnp.int32(8)), p * 0),
+        memory_space=pltpu.VMEM)
+
+    def xspec(g):
+        return pl.BlockSpec(
+            (bs_pad, w_tile),
+            lambda p, t, w, g=g: (p * 0, w[p * jnp.int32(G) + jnp.int32(g)]),
+            memory_space=pltpu.VMEM)
+
+    o_spec = pl.BlockSpec(
+        (bs_pad, r_tile), lambda p, t, w: (p * 0, t[p * jnp.int32(G)]),
+        memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(P,),
-        in_specs=[
-            pl.BlockSpec((8, J),
-                         lambda p, t, w: (jax.lax.div(p, jnp.int32(8)), p * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, J),
-                         lambda p, t, w: (jax.lax.div(p, jnp.int32(8)), p * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, J),
-                         lambda p, t, w: (jax.lax.div(p, jnp.int32(8)), p * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, J),
-                         lambda p, t, w: (jax.lax.div(p, jnp.int32(8)), p * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs_pad, w_tile), lambda p, t, w: (p * 0, w[p]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs_pad, w_tile), lambda p, t, w: (p * 0, w[p]),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((bs_pad, r_tile), lambda p, t, w: (p * 0, t[p]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs_pad, r_tile), lambda p, t, w: (p * 0, t[p]),
-                         memory_space=pltpu.VMEM),
-        ),
+        grid=(P8 // G,),
+        in_specs=[pair_spec] * 4
+        + [xspec(g) for g in range(G)]
+        + [xspec(g) for g in range(G)],
+        out_specs=(o_spec, o_spec),
     )
     ohi, olo = pl.pallas_call(
         kernel,
@@ -527,8 +548,55 @@ def _onehot_spmm_t_df64(t_ids, w_ids, rloc, cloc, vhi, vlo, xhi, xlo,
             bytes_accessed=P * J * 16 + 4 * bs_pad * n_pad * 4,
             transcendentals=0,
         ),
-    )(t_ids, w_ids, rloc8, cloc8, vhi8, vlo8, xhi_p, xlo_p)
+    )(t_ids, w_ids, rloc8, cloc8, vhi8, vlo8,
+      *([xhi_p] * G), *([xlo_p] * G))
     return ohi[:bs], olo[:bs]
+
+
+def regroup_pairs(t_ids, w_ids, rloc, cloc, pvals, pvals_lo, group: int):
+    """Pad each tile's pair run to a multiple of ``group`` (dummy zero-value
+    pairs carrying the run's tile id and last window id), so a kernel grid
+    step can process ``group`` consecutive pairs that provably share one
+    output tile.  ``group`` must divide 8 (pair rows are DMA'd in (8, J)
+    blocks; a step's pairs must sit in one block)."""
+    assert 8 % group == 0, f"group={group} must divide 8"
+    if group == 1:
+        return t_ids, w_ids, rloc, cloc, pvals, pvals_lo
+    P = len(t_ids)
+    runs = np.flatnonzero(np.r_[True, t_ids[1:] != t_ids[:-1]])
+    run_lens = np.diff(np.r_[runs, P])
+    pads = (-run_lens) % group
+    out_idx = []   # source index per output row; -1 = dummy after run r
+    src_w = []
+    for start, ln, pad in zip(runs, run_lens, pads):
+        out_idx.extend(range(start, start + ln))
+        out_idx.extend([-(start + ln - 1) - 1] * int(pad))  # encode dummy src
+    out_idx = np.asarray(out_idx)
+    dummy = out_idx < 0
+    src = np.where(dummy, -out_idx - 1, out_idx)
+
+    def take(a, zero_dummy):
+        out = a[src].copy()
+        if zero_dummy and dummy.any():
+            out[dummy] = 0
+        return out
+
+    t2 = take(t_ids, False)        # dummies keep the run's tile id
+    w2 = take(w_ids, False)        # and its last window id (any valid one)
+    rl2, cl2 = take(rloc, True), take(cloc, True)
+    pv2, pl2 = take(pvals, True), take(pvals_lo, True)
+    P2 = _round_up(len(t2), 8)
+    if P2 != len(t2):
+        pad = P2 - len(t2)
+        t2 = np.concatenate([t2, np.full(pad, t2[-1], t2.dtype)])
+        w2 = np.concatenate([w2, np.full(pad, w2[-1], w2.dtype)])
+        z = np.zeros((pad,) + rloc.shape[1:], rloc.dtype)
+        rl2 = np.concatenate([rl2, z])
+        cl2 = np.concatenate([cl2, z.astype(cloc.dtype)])
+        zf = np.zeros((pad,) + pvals.shape[1:], pvals.dtype)
+        pv2 = np.concatenate([pv2, zf])
+        pl2 = np.concatenate([pl2, zf])
+    return t2, w2, rl2, cl2, pv2, pl2
 
 
 def pack_onehot_sharded(rows, cols, vals, n: int, ndev: int,
@@ -603,7 +671,7 @@ class OneHotOperator:
     """
 
     def __init__(self, t_ids, w_ids, rloc, cloc, pvals, pvals_lo, n: int,
-                 n_pad: int, r_tile: int, w_tile: int):
+                 n_pad: int, r_tile: int, w_tile: int, group: int = 1):
         self.t_ids = t_ids
         self.w_ids = w_ids
         self.rloc = rloc
@@ -614,6 +682,7 @@ class OneHotOperator:
         self.n_pad = int(n_pad)
         self.r_tile = int(r_tile)
         self.w_tile = int(w_tile)
+        self.group = int(group)
 
     @property
     def shape(self):
@@ -625,13 +694,17 @@ class OneHotOperator:
 
     @classmethod
     def from_coo(cls, rows, cols, vals, shape, r_tile: int = 256,
-                 w_tile: int = 256, j_max: int = 128):
+                 w_tile: int = 256, j_max: int = 128, group: int = 1):
         n = shape[0]
         t_ids, w_ids, rloc, cloc, pvals, pvals_lo, n_pad, stats = pack_onehot(
             rows, cols, vals, n, r_tile, w_tile, j_max)
+        if group > 1:
+            t_ids, w_ids, rloc, cloc, pvals, pvals_lo = regroup_pairs(
+                t_ids, w_ids, rloc, cloc, pvals, pvals_lo, group)
+            stats = dict(stats, pairs_grouped=len(t_ids))
         op = cls(jnp.asarray(t_ids), jnp.asarray(w_ids), jnp.asarray(rloc),
                  jnp.asarray(cloc), jnp.asarray(pvals),
-                 jnp.asarray(pvals_lo), n, n_pad, r_tile, w_tile)
+                 jnp.asarray(pvals_lo), n, n_pad, r_tile, w_tile, group)
         op.stats = stats
         return op
 
@@ -644,7 +717,7 @@ class OneHotOperator:
         xt_p = jnp.pad(xt, ((0, 0), (0, self.n_pad - n)))
         y = _onehot_spmm_t(self.t_ids, self.w_ids, self.rloc, self.cloc,
                            self.pvals, xt_p, self.r_tile, self.w_tile,
-                           self.n_pad, interpret)
+                           self.n_pad, interpret, self.group)
         return y[:, :n].astype(xt.dtype)
 
     def matvec_t_df64(self, xt, interpret: bool | None = None,
@@ -665,7 +738,8 @@ class OneHotOperator:
         yhi, ylo = _onehot_spmm_t_df64(
             self.t_ids, self.w_ids, self.rloc, self.cloc,
             self.pvals, self.pvals_lo, xhi, xlo,
-            self.r_tile, self.w_tile, self.n_pad, slices, interpret)
+            self.r_tile, self.w_tile, self.n_pad, slices, interpret,
+            self.group)
         y = yhi.astype(jnp.float64) + ylo.astype(jnp.float64)
         return y[:, :n]
 
@@ -687,7 +761,7 @@ class OneHotOperator:
     def tree_flatten(self):
         return ((self.t_ids, self.w_ids, self.rloc, self.cloc, self.pvals,
                  self.pvals_lo),
-                (self.n, self.n_pad, self.r_tile, self.w_tile))
+                (self.n, self.n_pad, self.r_tile, self.w_tile, self.group))
 
     @classmethod
     def tree_unflatten(cls, aux, children):

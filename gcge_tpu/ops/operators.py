@@ -596,12 +596,13 @@ class EllOneHotOperator(SparseOperator):
 
     @classmethod
     def from_coo(cls, rows, cols, vals, shape, dtype=jnp.float64,
-                 r_tile: int = 256, w_tile: int = 256, j_max: int = 256):
+                 r_tile: int = 256, w_tile: int = 256, j_max: int = 256,
+                 group: int = 1):
         from gcge_tpu.ops.onehot_pallas import OneHotOperator
 
         base = SparseOperator.from_coo(rows, cols, vals, shape, dtype=dtype)
         oh = OneHotOperator.from_coo(rows, cols, vals, shape, r_tile=r_tile,
-                                     w_tile=w_tile, j_max=j_max)
+                                     w_tile=w_tile, j_max=j_max, group=group)
         return cls(base.values, base.indices, base.n_cols, oh)
 
 

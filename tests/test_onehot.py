@@ -125,3 +125,28 @@ def test_gcg_mixed_with_onehot_operator(rng):
     assert res.nev_conv >= 6
     np.testing.assert_allclose(res.eval[:6], laplacian_1d_eigs(n)[:6],
                                rtol=1e-7)
+
+
+@pytest.mark.parametrize("group", [2, 4, 8])
+def test_onehot_grouped_matches_ungrouped(rng, group):
+    """group>1 (several pairs per grid step, regroup_pairs padding each
+    tile's run) must agree with group=1 in both kernels."""
+    n, k, band = 900, 6, 250
+    rows, cols, vals = _random_banded(rng, n, k, band)
+    kw = dict(r_tile=128, w_tile=128, j_max=128)
+    op1 = OneHotOperator.from_coo(rows, cols, vals, (n, n), **kw)
+    opg = OneHotOperator.from_coo(rows, cols, vals, (n, n), group=group, **kw)
+    assert opg.stats["pairs_grouped"] % group == 0
+    x = rng.standard_normal((5, n))
+    y1 = np.asarray(op1.matvec_t(jnp.asarray(x, jnp.float32)))
+    yg = np.asarray(opg.matvec_t(jnp.asarray(x, jnp.float32)))
+    # f32 kernel: identical contractions, but the scatter accumulation order
+    # differs (G pairs summed in one matmul) -> tiny f32 reassociation noise
+    assert np.abs(y1 - yg).max() < 1e-5 * np.abs(y1).max()
+    y1d = np.asarray(op1.matvec_t_df64(jnp.asarray(x)))
+    ygd = np.asarray(opg.matvec_t_df64(jnp.asarray(x)))
+    a = sps.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    y_ref = (a @ x.T).T
+    scale = np.abs(y_ref).max()
+    assert np.abs(ygd - y_ref).max() < 1e-11 * scale
+    assert np.abs(y1d - y_ref).max() < 1e-11 * scale
