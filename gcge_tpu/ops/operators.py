@@ -596,8 +596,11 @@ class EllOneHotOperator(SparseOperator):
 
     @classmethod
     def from_coo(cls, rows, cols, vals, shape, dtype=jnp.float64,
-                 r_tile: int = 256, w_tile: int = 256, j_max: int = 256,
-                 group: int = 1):
+                 r_tile: int = 256, w_tile: int = 256, j_max: int = 128,
+                 group: int = 8):
+        # defaults = the round-4 production sweep winner (256/256/J=128/G=8:
+        # f32 7.5 ms, df64 12.5 ms on the 4.0M-nnz Delaunay matrix at bs=10
+        # — the grouped grid amortizes the ~0.2 us/step fixed cost)
         from gcge_tpu.ops.onehot_pallas import OneHotOperator
 
         base = SparseOperator.from_coo(rows, cols, vals, shape, dtype=dtype)
