@@ -347,7 +347,12 @@ def dia_spmm_pallas_t_df64(vhi, vlo, offsets: tuple[int, ...], xt,
     # multivectors are column-chunked (each chunk re-reads the values — still
     # a clear win over the XLA path for up to a few chunks); beyond that the
     # value re-reads eat the advantage and the XLA shift path takes over.
-    max_rows = max((_RESULT_BUDGET // (2 * 4 * n)) // 8 * 8, 0)
+    # The row count is ALSO capped at 96 sublanes: at small n the byte
+    # budget admits 200+ rows, and the unrolled per-diagonal kernel body
+    # then blows the 128 MB scoped-VMEM ceiling on register-allocator spill
+    # slots (observed: m_pad=264, n=13.8k -> 177 MB of spills, compile
+    # error).  Production shapes sit at <= 40 rows and are unaffected.
+    max_rows = max(min((_RESULT_BUDGET // (2 * 4 * n)) // 8 * 8, 96), 0)
     if max_rows < 8 or -(-m // max_rows) > 4:
         from gcge_tpu.ops.operators import DiaOperator
 
@@ -391,7 +396,9 @@ def dia_spmm_pallas_t(values, offsets: tuple[int, ...], xt,
     m, nw = xt.shape
     n = nw - hl - hr
     sub = 8 if xt.dtype == jnp.float32 else 16
-    max_rows = max((_RESULT_BUDGET // (xt.dtype.itemsize * n)) // sub * sub, 0)
+    # same 128-sublane-class spill cap as the df64 path (96 rows)
+    max_rows = max(min(
+        (_RESULT_BUDGET // (xt.dtype.itemsize * n)) // sub * sub, 96), 0)
     if max_rows < sub or -(-m // max_rows) > 4:
         from gcge_tpu.ops.operators import DiaOperator
 
