@@ -677,8 +677,26 @@ def _rayleigh_ritz(a_op, v, h_pp, ss_eval, p_cnt, w_cnt, size_x: int, bs: int,
         and jnp.dtype(v.dtype) == jnp.float64))
     if use_warm:
         d0, u0, h1w = _rr_struct_warm(h_eig, size_x, bs)
-        w, c = _eigh(h_eig, "newton", mesh, warm=(d0, u0), warm_h1=h1w,
-                     cluster_first=False)
+        # The struct warm is only valid when its premise holds: the X-W
+        # couplings are RESIDUAL-sized.  Early iterations (and the first
+        # iterations after a restart) have O(scale) couplings, and the
+        # single-pass Newton refinement then silently corrupts the basis —
+        # measured on CPU f64 at nev=200/bs=80: stalls at nev_conv=0 for
+        # 120 iterations with lam0 BELOW the true minimum (a non-orthonormal
+        # basis), where the cold eigh converges 205 pairs in 30.  Gate on
+        # the relative coupling mass; the cold branch only executes when
+        # taken (lax.cond).
+        offmask = 1.0 - jnp.eye(h1w.shape[0], dtype=h1w.dtype)
+        coupling = jnp.linalg.norm(h1w * offmask)
+        spread = jnp.maximum(jnp.max(d0) - jnp.min(d0),
+                             jnp.asarray(1e-300, h1w.dtype))
+        warm_ok = coupling < 0.02 * spread
+        w, c = jax.lax.cond(
+            warm_ok,
+            lambda _: _eigh(h_eig, "newton", mesh, warm=(d0, u0),
+                            warm_h1=h1w, cluster_first=False),
+            lambda _: _eigh(h_eig, "newton", mesh),
+            None)
     else:
         w, c = _eigh(h_eig, rr_backend, mesh)
     act_tot = size_x + p_cnt + w_cnt
