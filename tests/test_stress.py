@@ -103,3 +103,34 @@ def test_check_convergence_traced_matches_host(seed):
     assert int(cnt_t) == int(cnt_h)
     np.testing.assert_array_equal(np.asarray(act_t)[:int(cnt_h)],
                                   np.asarray(act_h)[:int(cnt_h)])
+
+
+def test_struct_warm_gate_matches_cold_eigh():
+    """Regression (round 4): the structural RR warm start silently corrupted
+    the basis when its residual-sized-coupling premise failed (early
+    iterations) — nev=200/bs=80 stalled at nev_conv=0 with lam0 BELOW the
+    true minimum.  With the coupling gate, struct must match the cold
+    Newton path exactly on a config that previously broke."""
+    import scipy.sparse as sps
+
+    from gcge_tpu.ops.operators import make_operator
+    from gcge_tpu.solvers.gcg import GCGParams, gcg_solve
+
+    n1 = 14
+    I = sps.identity(n1)
+    T = sps.diags([-np.ones(n1 - 1), 2 * np.ones(n1), -np.ones(n1 - 1)],
+                  [-1, 0, 1])
+    A3 = (sps.kron(sps.kron(I, I), T) + sps.kron(sps.kron(I, T), I)
+          + sps.kron(sps.kron(T, I), I)).tocoo()
+    n = A3.shape[0]
+    op = make_operator(A3.row, A3.col, A3.data, (n, n))
+    res = {}
+    for warm in ("struct", "off"):
+        p = GCGParams(nev=60, block_size=24, max_iter=80, verbose=0, fuse=0,
+                      cg_max_iter=30, cg_auto_shift=True,
+                      rr_backend="newton", rr_warm=warm)
+        res[warm] = gcg_solve(op, None, p)
+    assert res["struct"].nev_conv >= 60
+    assert res["off"].nev_conv >= 60
+    np.testing.assert_allclose(res["struct"].eval[:60], res["off"].eval[:60],
+                               rtol=1e-9)
