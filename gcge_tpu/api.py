@@ -79,15 +79,35 @@ def eigsh(a, k: int = 6, M=None, which: str = "SM", v0=None,
     return np.asarray(ev[:k]), np.asarray(evec)[:, :k]
 
 
-def _tuned_defaults(backend: str, method: str, distribute, b,
+def _mixed_capable_a(a) -> bool:
+    """Whether A will land on an operator type `_compute_w`'s mixed branch
+    supports (DIA / ELL / hybrid / one-hot — i.e. sparse input or a prebuilt
+    sparse-layout operator).  Dense ndarrays, 1-D diagonals, DenseOperator
+    and user LinearOperators route to the plain f64 CG instead: the mixed
+    fast path's f32 kernels only exist for the sparse layouts."""
+    try:
+        import scipy.sparse as sps
+
+        if sps.issparse(a):
+            return True
+    except Exception:  # pragma: no cover - scipy is baked into the image
+        pass
+    from gcge_tpu.ops.operators import (DiaOperator, EllOneHotOperator,
+                                        HybridOperator, SparseOperator)
+
+    return isinstance(a, (DiaOperator, EllOneHotOperator, HybridOperator,
+                          SparseOperator))
+
+
+def _tuned_defaults(backend: str, method: str, distribute, a, b,
                     nev: int = 0) -> dict:
     """Production-tuned TPU profile applied as DEFAULTS by :func:`solve`
     (any explicit kwarg wins): fused dispatch chunks, mixed-precision inner
     CG riding the f32 Pallas kernels, auto shift — the bench/PERFORMANCE.md
     parameterization.  Measured through the public surface at nev=50,
     n=157k: 24.8 s untuned -> ~2.5 s tuned.  The mixed inner CG requires
-    B = None or diagonal; restricted to the single-device gcg path
-    (distributed/pas keep explicit control).
+    B = None or diagonal AND a sparse-layout A; restricted to the
+    single-device gcg path (distributed/pas keep explicit control).
 
     Huge-nev exception: past nev ~250 (projected m ~700 at the auto
     blocking) the FUSED chunk's remote compile cost turns superlinear and
@@ -101,8 +121,9 @@ def _tuned_defaults(backend: str, method: str, distribute, b,
 
     tuned = {"fuse": 20 if nev < 250 else 0, "cg_auto_shift": True,
              "cg_refine": 2}
-    if b is None or (isinstance(b, np.ndarray) and b.ndim == 1) or \
-            isinstance(b, (DiagOperator, IdentityOperator)):
+    if (b is None or (isinstance(b, np.ndarray) and b.ndim == 1) or
+            isinstance(b, (DiagOperator, IdentityOperator))) and \
+            _mixed_capable_a(a):
         tuned["cg_mixed"] = True
     return tuned
 
@@ -165,7 +186,7 @@ def solve(
 
     if params is None:
         for k, v in _tuned_defaults(jax.default_backend(), method,
-                                    distribute, b, nev).items():
+                                    distribute, a, b, nev).items():
             kwargs.setdefault(k, v)
         params = GCGParams(nev=nev, **kwargs)
     dtype = params.dtype

@@ -196,6 +196,14 @@ def _onehot_spmm_t(t_ids, w_ids, rloc, cloc, pvals, xt,
             return jnp.zeros((P8, J), a.dtype).at[:P].set(a)
 
         rloc8, cloc8, pvals8 = pad8(rloc), pad8(cloc), pad8(pvals)
+        # the scalar-prefetch id arrays must be padded alongside: the grid
+        # runs P8 // G steps and indexes t_ids/w_ids up to P8-1.  Padding
+        # rows carry the LAST ids (a 0 tile id would trip is_first and wipe
+        # tile 0); their zero values contribute exact no-ops.
+        t_ids = jnp.concatenate(
+            [t_ids, jnp.broadcast_to(t_ids[-1], (P8 - P,))])
+        w_ids = jnp.concatenate(
+            [w_ids, jnp.broadcast_to(w_ids[-1], (P8 - P,))])
 
     G = group
 
@@ -402,6 +410,12 @@ def _onehot_spmm_t_df64(t_ids, w_ids, rloc, cloc, vhi, vlo, xhi, xlo,
 
         rloc8, cloc8 = pad8(rloc), pad8(cloc)
         vhi8, vlo8 = pad8(vhi), pad8(vlo)
+        # pad the scalar-prefetch ids alongside (grid indexes up to P8-1);
+        # last-id padding keeps is_first from wiping tile 0
+        t_ids = jnp.concatenate(
+            [t_ids, jnp.broadcast_to(t_ids[-1], (P8 - P,))])
+        w_ids = jnp.concatenate(
+            [w_ids, jnp.broadcast_to(w_ids[-1], (P8 - P,))])
 
     def kernel(t_ref, w_ref, rloc_ref, cloc_ref, vh_ref, vl_ref, *refs):
         xh_refs, xl_refs = refs[:G], refs[G:2 * G]
@@ -630,7 +644,16 @@ def pack_onehot_sharded(rows, cols, vals, n: int, ndev: int,
         sel = (rows >= s * ln) & (rows < (s + 1) * ln)
         r_loc = rows[sel] - s * ln + hl
         c_loc = cols[sel] - s * ln + hl   # window starts at s*ln - hl
-        packs.append(pack_onehot(r_loc, c_loc, vals[sel], nw,
+        if r_loc.size == 0:
+            # a device with an empty row slice (tiny n over many devices /
+            # empty trailing rows) still needs a non-empty pack: one
+            # zero-value pair at the window origin is an exact no-op
+            r_loc = np.array([hl], rows.dtype)
+            c_loc = np.array([hl], cols.dtype)
+            v_loc = np.zeros(1, vals.dtype)
+        else:
+            v_loc = vals[sel]
+        packs.append(pack_onehot(r_loc, c_loc, v_loc, nw,
                                  r_tile, w_tile, j_max))
     n_pad = packs[0][6]
     p_max = _round_up(max(p[0].shape[0] for p in packs), 8)

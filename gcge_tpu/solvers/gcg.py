@@ -548,7 +548,10 @@ def _compute_w(a_op, b_op, v, ritz, ss_eval, act_idx, act_cnt, sigma,
             # point's native layout.
             def mv32(y):
                 by = y if b32 is None else b32[:, None] * y
-                return a_op.matvec(y) + s32 * by
+                # cast: a sharded wrapper around a plain f64 inner operator
+                # (gather layout) promotes f32 inputs to f64; the CG carry
+                # must stay f32
+                return (a_op.matvec(y) + s32 * by).astype(jnp.float32)
 
             precond32 = None
             if precond is not None:
@@ -561,15 +564,12 @@ def _compute_w(a_op, b_op, v, ritz, ss_eval, act_idx, act_cnt, sigma,
                                     active0=colmask, precond=precond32)
                 w = w + d.astype(v.dtype)
                 niters = niters + info.niters
-        else:
+        elif isinstance(a_op, (SparseOperator, HybridOperator)):
             # ELL / Hybrid (irregular matrices): gather layout — keep the
             # (n, m) orientation (row gathers; a lane-axis gather would be
             # far slower) and run the f32 stages through plain block_pcg.
             # The f64 gather SpMM measured ~2x slower than f32 on TPU, so
             # the refinement structure pays the same way it does for DIA.
-            assert isinstance(a_op, (SparseOperator, HybridOperator)), \
-                f"cg_mixed: unsupported operator {type(a_op).__name__}"
-
             def _to_f32(op):
                 if isinstance(op, HybridOperator):
                     return HybridOperator(_to_f32(op.dia),
@@ -600,6 +600,14 @@ def _compute_w(a_op, b_op, v, ritz, ss_eval, act_idx, act_cnt, sigma,
                                     active0=colmask, precond=precond32)
                 w = w + d.astype(v.dtype)
                 niters = niters + info.niters
+        else:
+            # no f32 fast path exists for this operator (DenseOperator,
+            # DiagOperator, user LinearOperator): run the plain f64 CG
+            # instead of failing — cg_mixed then just means "no slowdown"
+            w, info = block_pcg(shifted, rhs, xact, cg, active0=colmask,
+                                precond=precond)
+            w = w * fmask[None, :]
+            niters = info.niters
         rfin = (rhs - shifted(w)) * fmask[None, :]
         final_res = jnp.sqrt(col_dots(rfin, rfin))
     elif cg_order == 2:

@@ -50,6 +50,12 @@ def _raise_map_count_limit():
         if cur < 262144:
             with open("/proc/sys/vm/max_map_count", "w") as f:
                 f.write("262144")
+            # host-global change that outlives the test run — say so
+            import sys
+
+            print(f"[gcge_tpu conftest] raised vm.max_map_count "
+                  f"{cur} -> 262144 (system-wide, persists after the "
+                  f"suite; see _raise_map_count_limit)", file=sys.stderr)
     except (OSError, ValueError):
         pass
 

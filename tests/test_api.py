@@ -311,28 +311,65 @@ def test_tuned_defaults_profile():
     """api.solve applies the production TPU profile as overridable defaults
     (PERFORMANCE.md parameterization), and stays hands-off where it must."""
     import numpy as np
+    import scipy.sparse as sps
 
     from gcge_tpu.api import _tuned_defaults
 
-    t = _tuned_defaults("tpu", "gcg", False, None)
+    a_sp = sps.identity(5).tocsr()
+    t = _tuned_defaults("tpu", "gcg", False, a_sp, None)
     assert t["fuse"] > 0 and t["cg_auto_shift"] and t["cg_mixed"]
     # generalized sparse B: mixed CG unsupported -> not defaulted on
-    import scipy.sparse as sps
-    t2 = _tuned_defaults("tpu", "gcg", False, sps.identity(5).tocsr())
+    t2 = _tuned_defaults("tpu", "gcg", False, a_sp, sps.identity(5).tocsr())
     assert "cg_mixed" not in t2 and t2["fuse"] > 0
     # diagonal B as 1-D array: mixed ok
-    assert _tuned_defaults("tpu", "gcg", False, np.ones(5))["cg_mixed"]
+    assert _tuned_defaults("tpu", "gcg", False, a_sp, np.ones(5))["cg_mixed"]
+    # dense / 1-D diagonal / user-operator A: the mixed branch has no f32
+    # fast path for those layouts — not defaulted on (ADVICE r4 high)
+    assert "cg_mixed" not in _tuned_defaults(
+        "tpu", "gcg", False, np.eye(5), None)
+    assert "cg_mixed" not in _tuned_defaults(
+        "tpu", "gcg", False, np.ones(5), None)
+    from gcge_tpu.ops.operators import DenseOperator
+    import jax.numpy as jnp
+    assert "cg_mixed" not in _tuned_defaults(
+        "tpu", "gcg", False, DenseOperator(jnp.eye(5)), None)
+    # prebuilt sparse-layout operator A: mixed ok
+    from gcge_tpu.ops.operators import DiaOperator
+    dia = DiaOperator(jnp.ones((1, 5)), jnp.zeros(1, jnp.int32), 5)
+    assert _tuned_defaults("tpu", "gcg", False, dia, None)["cg_mixed"]
     # off-TPU / pas / distributed: untouched
-    assert _tuned_defaults("cpu", "gcg", False, None) == {}
-    assert _tuned_defaults("tpu", "pas", False, None) == {}
-    assert _tuned_defaults("tpu", "gcg", "rows", None) == {}
+    assert _tuned_defaults("cpu", "gcg", False, a_sp, None) == {}
+    assert _tuned_defaults("tpu", "pas", False, a_sp, None) == {}
+    assert _tuned_defaults("tpu", "gcg", "rows", a_sp, None) == {}
 
 
 def test_tuned_defaults_huge_nev_drops_fuse():
     """Past nev ~250 the fused chunk's compile cost is superlinear
     (PERFORMANCE.md 'Compile-cost anatomy'): the default drops to the
     phased path."""
+    import scipy.sparse as sps
+
     from gcge_tpu.api import _tuned_defaults
 
-    assert _tuned_defaults("tpu", "gcg", False, None, nev=50)["fuse"] == 20
-    assert _tuned_defaults("tpu", "gcg", False, None, nev=400)["fuse"] == 0
+    a_sp = sps.identity(5).tocsr()
+    assert _tuned_defaults("tpu", "gcg", False, a_sp, None,
+                           nev=50)["fuse"] == 20
+    assert _tuned_defaults("tpu", "gcg", False, a_sp, None,
+                           nev=400)["fuse"] == 0
+
+
+def test_cg_mixed_dense_operator_falls_back():
+    """cg_mixed with an operator that has no f32 fast path (DenseOperator)
+    must run the plain f64 CG instead of asserting (ADVICE r4 high)."""
+    import jax.numpy as jnp
+
+    from gcge_tpu.ops.operators import DenseOperator
+    from gcge_tpu.solvers.gcg import GCGParams, gcg_solve
+
+    n = 60
+    a = np.diag(np.arange(1.0, n + 1))
+    res = gcg_solve(DenseOperator(jnp.asarray(a)), None,
+                    GCGParams(nev=6, verbose=0, cg_mixed=True, max_iter=60))
+    assert res.nev_conv >= 6
+    np.testing.assert_allclose(np.asarray(res.eval[:6]),
+                               np.arange(1.0, 7.0), rtol=1e-8)

@@ -150,3 +150,65 @@ def test_onehot_grouped_matches_ungrouped(rng, group):
     scale = np.abs(y_ref).max()
     assert np.abs(ygd - y_ref).max() < 1e-11 * scale
     assert np.abs(y1d - y_ref).max() < 1e-11 * scale
+
+
+def test_onehot_handbuilt_unpadded_pairs(rng):
+    """Hand-built pair sets with P % 8 != 0 go through the kernels'
+    in-call pad8 branch: the scalar-prefetch t/w ids must be padded
+    alongside the pair arrays (ADVICE r4 medium — unpadded ids read out
+    of bounds and a garbage tile id can wipe a wrong output tile)."""
+    n = 300
+    # three (tile, window) combos at r_tile=w_tile=128 -> P=3 pairs
+    rows = np.array([0, 5, 130, 135, 270, 271])
+    cols = np.array([3, 10, 140, 150, 10, 12])
+    vals = rng.standard_normal(6)
+    t, w, rl, cl, pv, pvlo, n_pad, stats = pack_onehot(
+        rows, cols, vals, n, 128, 128, 128)
+    P = stats["pairs"]
+    assert P % 8 != 0   # the config this test exists for
+    op = OneHotOperator(jnp.asarray(t[:P]), jnp.asarray(w[:P]),
+                        jnp.asarray(rl[:P]), jnp.asarray(cl[:P]),
+                        jnp.asarray(pv[:P]), jnp.asarray(pvlo[:P]),
+                        n, n_pad, 128, 128)
+    a = sps.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    x = rng.standard_normal((4, n))
+    y = np.asarray(op.matvec_t(jnp.asarray(x, jnp.float32)))
+    y_ref = (a @ x.T).T
+    scale = np.abs(y_ref).max()
+    assert np.abs(y - y_ref).max() < 3e-6 * scale
+    yd = np.asarray(op.matvec_t_df64(jnp.asarray(x)))
+    assert np.abs(yd - y_ref).max() < 1e-11 * scale
+
+
+def test_pack_onehot_sharded_empty_shard(rng):
+    """A device whose row slice has no nonzeros must get a no-op dummy
+    pack, not an IndexError (ADVICE r4 low); the stacked packs must still
+    reproduce the full matvec."""
+    from gcge_tpu.ops.onehot_pallas import pack_onehot_sharded
+
+    n, ndev = 512, 4
+    # nonzeros only in the first device's rows (plus a small band)
+    rows = rng.integers(0, 120, 400)
+    cols = np.clip(rows + rng.integers(-30, 31, 400), 0, n - 1)
+    vals = rng.standard_normal(400)
+    (t, w, rl, cl, pv, pvlo), (hl, hr, nw, n_pad, ln) = pack_onehot_sharded(
+        rows, cols, vals, n, ndev, r_tile=128, w_tile=128)
+    assert t.shape[0] == ndev and ln == n // ndev
+    a = sps.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    x = rng.standard_normal((3, n))
+    y = np.zeros((3, n))
+    for s in range(ndev):
+        op = OneHotOperator(jnp.asarray(t[s]), jnp.asarray(w[s]),
+                            jnp.asarray(rl[s]), jnp.asarray(cl[s]),
+                            jnp.asarray(pv[s]), jnp.asarray(pvlo[s]),
+                            nw, n_pad, 128, 128)
+        lo, hi = s * ln - hl, (s + 1) * ln + hr
+        xw = np.zeros((3, nw))
+        src_lo, src_hi = max(lo, 0), min(hi, n)
+        xw[:, src_lo - lo:src_lo - lo + (src_hi - src_lo)] = \
+            x[:, src_lo:src_hi]
+        yl = np.asarray(op.matvec_t(jnp.asarray(xw, jnp.float32)))
+        y[:, s * ln:(s + 1) * ln] = yl[:, hl:hl + ln]
+    y_ref = (a @ x.T).T
+    scale = max(np.abs(y_ref).max(), 1.0)
+    assert np.abs(y - y_ref).max() < 3e-6 * scale
