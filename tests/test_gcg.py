@@ -384,3 +384,49 @@ def test_multi_max_e2e_clustered_spectrum():
     # the capped backoff must have advanced nevConv before full convergence
     partial = [c for (_, c) in result.history if 0 < c < nev]
     assert partial, "nevConv never advanced partially - cap ineffective?"
+
+
+def test_fuse_hotswap_mid_solve(monkeypatch):
+    """Hot-swap cold start: with the fused chunk compiling in a background
+    thread (delayed via the test hook), the solve starts phased, swaps to
+    the fused loop when the compile lands, and still converges to the
+    analytic spectrum; the compiled executable is memoized so the next
+    solve starts fused immediately."""
+    import time as _time
+
+    from gcge_tpu.ops.operators import make_operator
+    from gcge_tpu.solvers import gcg as G
+
+    monkeypatch.setenv("GCGE_HOTSWAP_TEST_DELAY", "1.0")
+    n = 3000
+    a, _ = laplacian_1d(n)
+    rows, cols = np.nonzero(a)
+    op = make_operator(rows, cols, a[rows, cols], a.shape)
+    kw = dict(nev=6, block_size=3, max_iter=400, verbose=0, tol_rel=1e-8)
+    n_ready0 = len(G._CHUNK_READY)
+    res = gcg_solve(op, None, GCGParams(**kw, fuse=5, fuse_hotswap="on"))
+    assert res.nev_conv >= 6
+    np.testing.assert_allclose(res.eval[:6], laplacian_1d_eigs(n)[:6],
+                               rtol=1e-7)
+    # the background compile published its signature + executable (wait for
+    # the thread if the solve finished phased before the delay elapsed)
+    for _ in range(100):
+        if len(G._CHUNK_READY) > n_ready0:
+            break
+        _time.sleep(0.1)
+    assert len(G._CHUNK_READY) > n_ready0
+    assert len(G._HOT_COMPILED) >= 1
+    # steady call: goes straight fused via the memoized executable
+    monkeypatch.setenv("GCGE_HOTSWAP_TEST_DELAY", "60")  # would stall if used
+    t0 = _time.perf_counter()
+    res2 = gcg_solve(op, None, GCGParams(**kw, fuse=5, fuse_hotswap="on"))
+    steady_wall = _time.perf_counter() - t0
+    assert res2.nev_conv >= 6
+    assert steady_wall < 30  # no 60 s delay: the hot path was skipped
+    np.testing.assert_allclose(res2.eval[:6], laplacian_1d_eigs(n)[:6],
+                               rtol=1e-7)
+    # hotswap off: the direct fused path is untouched
+    res3 = gcg_solve(op, None, GCGParams(**kw, fuse=5, fuse_hotswap="off"))
+    assert res3.nev_conv >= 6
+    np.testing.assert_allclose(res3.eval[:6], laplacian_1d_eigs(n)[:6],
+                               rtol=1e-7)
