@@ -36,6 +36,7 @@ scalar-prefetched and drive the x-window / y-tile BlockSpec index maps
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +47,35 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _onehot_mask(ids, shape, dim: int, mask_mode: str):
+    """Build a one-hot bf16 matrix ``M[a, b] = (iota[dim] == ids)``.
+
+    ``mask_mode``:
+
+    * ``'f32'`` — i32 iota compare, f32 select, pack to bf16 (3 vreg passes
+      over f32-density registers).  The original form: a direct bf16 select
+      on the i1 mask of an f32/i32 compare hits a Mosaic relayout it cannot
+      do ((8,128) i1 tiling -> (16,128) bf16).
+    * ``'bf16'`` — compare AND select entirely in bf16: the iota and the ids
+      are exact in bf16 (window/tile offsets < 2^8 <= 256, and bf16 holds
+      integers to 2^8 exactly), the i1 mask is born in the (16,128) bf16
+      tiling, and the select needs no relayout.  Half the vector registers
+      per element -> the construction (the measured bottleneck of the
+      kernel, ~60% at production shapes) runs ~2-3x cheaper.
+
+    ``ids`` is (J,); ``dim`` is the iota dimension the ids broadcast
+    against (0 -> ids along columns, 1 -> ids along rows)."""
+    if mask_mode == "bf16":
+        iota = jax.lax.broadcasted_iota(jnp.bfloat16, shape, dim)
+        idb = ids.astype(jnp.bfloat16)
+        idb = idb[None, :] if dim == 0 else idb[:, None]
+        return jnp.where(iota == idb, jnp.bfloat16(1), jnp.bfloat16(0))
+    iota = jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+    idi = ids[None, :] if dim == 0 else ids[:, None]
+    return jnp.where(iota == idi, jnp.float32(1.0),
+                     jnp.float32(0.0)).astype(jnp.bfloat16)
 
 
 def _pack_groups(rows, cols, n, r_tile: int, w_tile: int, j_max: int):
@@ -159,11 +189,22 @@ def pack_onehot(rows, cols, vals, n, r_tile: int = 256, w_tile: int = 256,
     return t_ids, w_ids, rloc, cloc, pvals, pvals_lo, n_pad, stats
 
 
+def _resolve_mask_mode(r_tile: int, w_tile: int) -> str:
+    """Pick the one-hot construction form (see :func:`_onehot_mask`).
+
+    bf16 compares are only exact for integer ids < 2^8, so tiles wider than
+    256 fall back to the f32 form.  ``GCGE_ONEHOT_MASK`` forces a mode."""
+    forced = os.environ.get("GCGE_ONEHOT_MASK", "")
+    if forced in ("f32", "bf16"):
+        return forced
+    return "bf16" if max(r_tile, w_tile) <= 256 else "f32"
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "r_tile", "w_tile", "n_pad", "interpret", "group"))
+    "r_tile", "w_tile", "n_pad", "interpret", "group", "mask_mode"))
 def _onehot_spmm_t(t_ids, w_ids, rloc, cloc, pvals, xt,
                    r_tile: int, w_tile: int, n_pad: int, interpret: bool,
-                   group: int = 1):
+                   group: int = 1, mask_mode: str = "f32"):
     """Transposed one-hot SpMM: ``xt (bs, n_pad) -> y (bs, n_pad)`` f32.
 
     ``group`` > 1 processes that many consecutive pairs per grid step (the
@@ -218,10 +259,6 @@ def _onehot_spmm_t(t_ids, w_ids, rloc, cloc, pvals, xt,
         def _():
             o_ref[:] = jnp.zeros_like(o_ref)
 
-        one = jnp.float32(1.0)
-        zero = jnp.float32(0.0)
-        iota_w = jax.lax.broadcasted_iota(jnp.int32, (w_tile, J), 0)
-        iota_r = jax.lax.broadcasted_iota(jnp.int32, (J, r_tile), 1)
         g_planes = []   # per pair: (3*bs_pad, J) bf16 planes of g
         pms = []        # per pair: (J, R) bf16 scatter one-hot
         for g in range(G):
@@ -231,8 +268,7 @@ def _onehot_spmm_t(t_ids, w_ids, rloc, cloc, pvals, xt,
             cl = cloc_ref[r, :]                               # (J,)
             rl = rloc_ref[r, :]
             vl = val_ref[r, :]
-            q = jnp.where(iota_w == cl[None, :], one, zero).astype(
-                jnp.bfloat16)                                 # (W, J)
+            q = _onehot_mask(cl, (w_tile, J), 0, mask_mode)   # (W, J)
             # precision via exact bf16 plane splits instead of HIGHEST
             # matmuls — see the module docstring cost model.  Planes are
             # STACKED along M into one (3*bs_pad, W) selection matmul and
@@ -245,8 +281,7 @@ def _onehot_spmm_t(t_ids, w_ids, rloc, cloc, pvals, xt,
             gg = gg * vl[None, :]                             # (bs, J)
             g1, g2, g3 = _bf16_planes3(gg)
             g_planes.append(jnp.concatenate([g1, g2, g3], axis=0))
-            pms.append(jnp.where(iota_r == rl[:, None], one, zero).astype(
-                jnp.bfloat16))                                # (J, R)
+            pms.append(_onehot_mask(rl, (J, r_tile), 1, mask_mode))  # (J, R)
         gp = g_planes[0] if G == 1 else jnp.concatenate(g_planes, axis=1)
         pm = pms[0] if G == 1 else jnp.concatenate(pms, axis=0)  # (G*J, R)
         ys = jnp.dot(gp, pm, preferred_element_type=jnp.float32)
@@ -375,10 +410,12 @@ def _bf16_planes3(x):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "r_tile", "w_tile", "n_pad", "slices", "interpret", "group"))
+    "r_tile", "w_tile", "n_pad", "slices", "interpret", "group",
+    "mask_mode"))
 def _onehot_spmm_t_df64(t_ids, w_ids, rloc, cloc, vhi, vlo, xhi, xlo,
                         r_tile: int, w_tile: int, n_pad: int, slices: int,
-                        interpret: bool, group: int = 1):
+                        interpret: bool, group: int = 1,
+                        mask_mode: str = "f32"):
     """df64 transposed one-hot SpMM: ``x = xhi + xlo (bs, n_pad) f32 planes
     -> (y_hi, y_lo) f32 planes`` with ``y_hi + y_lo ~ (A @ x)^T`` to ~2^-40
     relative of the per-row scale.  ``group`` as in :func:`_onehot_spmm_t`
@@ -429,14 +466,10 @@ def _onehot_spmm_t_df64(t_ids, w_ids, rloc, cloc, vhi, vlo, xhi, xlo,
             ohi_ref[:] = jnp.zeros_like(ohi_ref)
             olo_ref[:] = jnp.zeros_like(olo_ref)
 
-        # build the one-hots in f32 and cast: a direct bf16 select on the i1
-        # compare mask hits a Mosaic relayout it cannot do ((8,128) i1 tiling
-        # -> (16,128) bf16); the f32->bf16 pack of exact 0/1 values is both
-        # supported and exact
-        one = jnp.float32(1.0)
-        zero = jnp.float32(0.0)
-        iota_w = jax.lax.broadcasted_iota(jnp.int32, (w_tile, J), 0)
-        iota_r = jax.lax.broadcasted_iota(jnp.int32, (J, r_tile), 1)
+        # one-hot construction: see _onehot_mask — 'f32' compares in
+        # i32/f32 and packs to bf16 (the i1->bf16 select relayout Mosaic
+        # cannot do is avoided by selecting in f32); 'bf16' compares in
+        # bf16 directly (exact for ids < 2^8) on half the registers
         ghis, glos, pms = [], [], []
         for g in range(G):
           r = jax.lax.rem(base + jnp.int32(g), jnp.int32(8))
@@ -444,8 +477,7 @@ def _onehot_spmm_t_df64(t_ids, w_ids, rloc, cloc, vhi, vlo, xhi, xlo,
           rl = rloc_ref[r, :]
           vh = vh_ref[r, :]
           vl = vl_ref[r, :]
-          q = jnp.where(iota_w == cl[None, :], one, zero).astype(
-              jnp.bfloat16)                                   # (W, J) bf16
+          q = _onehot_mask(cl, (w_tile, J), 0, mask_mode)     # (W, J) bf16
 
           # exact selection: x_hi via its exact bf16 triple, x_lo via a
           # two-plane split (error 2^-24 |x_lo| ~ 2^-48 |x|).  All five
@@ -468,8 +500,7 @@ def _onehot_spmm_t_df64(t_ids, w_ids, rloc, cloc, vhi, vlo, xhi, xlo,
           ghi_g, glo_g = _two_sum32(ph, pe)
           ghis.append(ghi_g)
           glos.append(glo_g)
-          pms.append(jnp.where(iota_r == rl[:, None], one, zero).astype(
-              jnp.bfloat16))                                  # (J, R) bf16
+          pms.append(_onehot_mask(rl, (J, r_tile), 1, mask_mode))  # (J, R)
 
         g_hi = ghis[0] if G == 1 else jnp.concatenate(ghis, axis=1)
         g_lo = glos[0] if G == 1 else jnp.concatenate(glos, axis=1)
@@ -505,21 +536,47 @@ def _onehot_spmm_t_df64(t_ids, w_ids, rloc, cloc, vhi, vlo, xhi, xlo,
         rem_hi, rem_lo = g_hi, g_lo
         cks = []
         scales = []
-        for _ in range(slices):
+        # deferred-lo peel (slices > 3): the peel bounds (|u| <= 2^8 by
+        # round-to-nearest, Sterbenz subtraction exact) hold whether or not
+        # the lo plane is folded in, and |rem_lo| <= 2^-24 * sigma, so ONE
+        # plain fold after the 3rd peel (when |rem_hi| <= 2^-21 sigma)
+        # suffices: its rounding error is <= 2^-45 sigma, below the
+        # 2^(-7*slices) remainder bound — and it replaces a 6-op two-sum
+        # per slice with a single add (the peel chain was ~40% of the
+        # kernel's VPU work at production shapes)
+        defer_lo = slices > 3
+        for k in range(slices):
             u = rem_hi / scale                                 # |u| <= 2^8
             c = jax.lax.round(u, jax.lax.RoundingMethod.TO_NEAREST_EVEN)
             cks.append(c.astype(jnp.bfloat16))
             scales.append(scale)
             rem_hi = rem_hi - c * scale                        # Sterbenz
-            rem_hi, rem_lo = _two_sum32(rem_hi, rem_lo)
+            if defer_lo:
+                if k == 2:
+                    rem_hi = rem_hi + rem_lo
+            else:
+                rem_hi, rem_lo = _two_sum32(rem_hi, rem_lo)
             scale = scale * jnp.float32(2.0 ** -7)
         ys = jnp.dot(jnp.concatenate(cks, axis=0), pm,
                      preferred_element_type=jnp.float32)       # exact ints
-        pair_hi = jnp.zeros((bs_pad, r_tile), jnp.float32)
+
+        def ysk(k):
+            return ys[k * bs_pad:(k + 1) * bs_pad] * scales[k]  # exact 2^k
+
+        # slice combine: compensated two-sums for the top 4 slices; the
+        # deeper slices' contributions are <= G*J*2^8*scale_4 = 2^-17 sigma
+        # worst-case, so plain f32 adds keep their rounding below
+        # 2^-40 sigma — the compensation there tracked pure noise
+        pair_hi = ysk(0)                                   # exact product
         pair_lo = jnp.zeros((bs_pad, r_tile), jnp.float32)
-        for k in range(slices):
-            contrib = ys[k * bs_pad:(k + 1) * bs_pad] * scales[k]  # exact 2^k
-            pair_hi, e = _two_sum32(pair_hi, contrib)
+        for k in range(1, min(4, slices)):
+            pair_hi, e = _two_sum32(pair_hi, ysk(k))
+            pair_lo = pair_lo + e
+        if slices > 4:
+            tail = ysk(4)
+            for k in range(5, slices):
+                tail = tail + ysk(k)
+            pair_hi, e = _two_sum32(pair_hi, tail)
             pair_lo = pair_lo + e
 
         ohi_ref[:], e = _two_sum32(ohi_ref[:], pair_hi)
@@ -740,7 +797,8 @@ class OneHotOperator:
         xt_p = jnp.pad(xt, ((0, 0), (0, self.n_pad - n)))
         y = _onehot_spmm_t(self.t_ids, self.w_ids, self.rloc, self.cloc,
                            self.pvals, xt_p, self.r_tile, self.w_tile,
-                           self.n_pad, interpret, self.group)
+                           self.n_pad, interpret, self.group,
+                           _resolve_mask_mode(self.r_tile, self.w_tile))
         return y[:, :n].astype(xt.dtype)
 
     def matvec_t_df64(self, xt, interpret: bool | None = None,
@@ -762,7 +820,7 @@ class OneHotOperator:
             self.t_ids, self.w_ids, self.rloc, self.cloc,
             self.pvals, self.pvals_lo, xhi, xlo,
             self.r_tile, self.w_tile, self.n_pad, slices, interpret,
-            self.group)
+            self.group, _resolve_mask_mode(self.r_tile, self.w_tile))
         y = yhi.astype(jnp.float64) + ylo.astype(jnp.float64)
         return y[:, :n]
 
