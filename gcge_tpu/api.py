@@ -142,6 +142,7 @@ def solve(
     pas_sweeps: int = 2,
     pas_final_sweeps: int = 16,
     pas_cycles: int = 8,
+    pas_composite_rr: bool = False,
     **kwargs: Any,
 ):
     """Compute the ``nev`` smallest eigenpairs of ``A x = lambda B x``.
@@ -280,7 +281,8 @@ def solve(
                         verbose=params.verbose,
                         sweeps_per_level=pas_sweeps,
                         final_sweeps=pas_final_sweeps,
-                        bamg_cycles=pas_cycles)
+                        bamg_cycles=pas_cycles,
+                        composite_rr=pas_composite_rr)
     else:
         res = gcg_solve(a_op, b_op, params, x0=x0, mesh=mesh)
     evec = res.evec

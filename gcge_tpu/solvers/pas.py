@@ -137,20 +137,48 @@ def _rel_res_jit(a_op, b_op, x, lam):
 
 
 @partial(jax.jit, static_argnames=("nev", "cycles", "smooth_iters",
-                                   "coarse_iters"))
+                                   "coarse_iters", "composite"))
 def _pas_sweep(hier_sub, a_op, b_op, x, lam, nev: int, cycles: int,
-               smooth_iters=(4, 4, 4, 4), coarse_iters: int = 100):
+               smooth_iters=(4, 4, 4, 4), coarse_iters: int = 100,
+               composite: bool = False):
     """One fused PAS sweep: inverse-power correction by ``cycles`` AMG
     V-cycles + Rayleigh-Ritz over the augmented span — ONE device dispatch
     (the reference pays per-phase MPI/host round-trips; on a remote TPU
     endpoint the dispatch latency would otherwise dominate the multilevel
-    driver)."""
+    driver).
+
+    ``composite=True`` runs the Rayleigh-Ritz through
+    :class:`AugmentedOperator` — the reference-faithful PASMAT path
+    (``ops_eig_sol_pas.c:183-219`` runs GCG on the composite
+    ``[XX XQ; QX QQ]``; here the same composite action carries a direct
+    RR): the span is expressed in stacked ``[u; q]`` coordinates
+    ``[I, 0; 0, N]``, orthonormalized under the composite B-metric
+    (semi-definite — the rank-revealing orth deflates any null
+    directions, the job ``OrthXtoQ`` does upstream), projected via
+    ``PASMAT``'s action, and the Ritz vectors collapsed back to the fine
+    grid with ``to_fine``.  Algebraically the same subspace as the
+    explicit-span path; exists so the composite backend is exercised by a
+    production solver path, not only unit tests."""
     bx = x if b_op is None else b_op.matvec(x)
     rhs = bx * lam[None, :]
     e = x
     for _ in range(cycles):
         e = _vcycle(hier_sub, 0, rhs, e, smooth_iters, coarse_iters,
                     1e-16, 1e-13)
+    if composite:
+        from gcge_tpu.ops.operators import IdentityOperator
+
+        n, k = x.shape
+        aug_a = AugmentedOperator(a_op, x)
+        aug_b = AugmentedOperator(
+            b_op if b_op is not None else IdentityOperator(n, x.dtype), x)
+        eye_k = jnp.eye(k, dtype=x.dtype)
+        s = jnp.concatenate([
+            jnp.concatenate([eye_k, jnp.zeros((n, k), x.dtype)], axis=0),
+            jnp.concatenate([jnp.zeros((k, k), x.dtype), e], axis=0),
+        ], axis=1)                                   # (k + n, 2k) stacked
+        lam2, xc = _rr_over_span(aug_a, aug_b, s, nev)
+        return lam2, aug_a.to_fine(xc)
     s = jnp.concatenate([x, e], axis=1)
     return _rr_over_span(a_op, b_op, s, nev)
 
@@ -196,11 +224,18 @@ def pas_solve(
     tol_rel: float = 1e-8,
     verbose: int = 1,
     fuse: bool = True,
+    composite_rr: bool = False,
 ) -> PASResult:
     """Multilevel PAS driver (reference ``PAS``, ``ops_eig_sol_pas.c:534-730``).
 
     ``hier`` must carry mass matrices (``build_hierarchy(..., b_vals=...)``)
     or the problem is treated as standard (B = I per level).
+
+    ``composite_rr`` routes every per-level Rayleigh-Ritz through the
+    stacked :class:`AugmentedOperator` (the reference's PASMAT composite,
+    ``app_pas.c:223-295``) instead of the explicit fine span — same
+    subspace, reference-faithful dataflow; implies ``fuse=False`` (the
+    composite path keeps the phased per-sweep structure).
     """
     lvls = hier.levels
     top = hier.num_levels - 1
@@ -236,7 +271,15 @@ def pas_solve(
         a_op, b_op = lvls[level].a_op, lvls[level].b_op
         n_sweeps = final_sweeps if level == 0 else sweeps_per_level
         hier_sub = MGHierarchy(levels=hier.levels[level:])
-        if fuse:
+        if composite_rr:
+            for sweep in range(n_sweeps):
+                lam, x = _pas_sweep(hier_sub, a_op, b_op, x, lam, nev,
+                                    bamg_cycles, composite=True)
+                if level == 0:
+                    rel = np.asarray(_rel_res_jit(a_op, b_op, x, lam))
+                    if (rel[:nev_out] < tol_rel).all():
+                        break
+        elif fuse:
             # ComputeN (BAMG correction, ref :345-390) + augmented-span RR
             # (ref :50-249) + the convergence control, ALL sweeps of this
             # level in one while_loop dispatch

@@ -42,6 +42,8 @@ _FLAG_MAP = {
     "-gcge_compW_cg_order": ("cg_order", int),
     "-gcge_check_conv_max_num": ("check_max", int),
     "-profile_dir": ("profile_dir", str),
+    "-fuse": ("fuse", int),
+    "-fuse_hotswap": ("fuse_hotswap", str),
 }
 
 # accepted for compatibility; recorded in `extras`, no TPU-side effect

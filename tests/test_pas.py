@@ -68,3 +68,22 @@ def test_pas_fused_matches_phasewise():
     assert rf.nev_conv >= nev and rp.nev_conv >= nev
     np.testing.assert_allclose(rf.eval, rp.eval, rtol=1e-9)
     np.testing.assert_allclose(rf.eval, laplacian_1d_eigs(n)[:nev], rtol=1e-6)
+
+
+def test_pas_composite_rr_matches_explicit():
+    """composite_rr=True routes every per-level RR through the stacked
+    AugmentedOperator (the reference's PASMAT dataflow,
+    ops_eig_sol_pas.c:183-219) and must converge to the same spectrum as
+    the explicit-span path."""
+    n, nev = 400, 6
+    a, _ = laplacian_1d(n)
+    rows, cols = np.nonzero(a)
+    hier = build_hierarchy(rows, cols, a[rows, cols], n, max_levels=3)
+    rc = pas_solve(hier, nev, verbose=0, final_sweeps=12, bamg_cycles=6,
+                   tol_rel=1e-7, composite_rr=True)
+    assert rc.nev_conv >= nev
+    np.testing.assert_allclose(rc.eval, laplacian_1d_eigs(n)[:nev],
+                               rtol=1e-6)
+    re = pas_solve(hier, nev, verbose=0, final_sweeps=12, bamg_cycles=6,
+                   tol_rel=1e-7)
+    np.testing.assert_allclose(rc.eval, re.eval, rtol=1e-8)
