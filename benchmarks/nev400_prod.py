@@ -41,10 +41,11 @@ ONESHOT = os.environ.get("NEV400_ONESHOT", "0") == "1"
 SHIFT = os.environ.get("NEV400_SHIFT", "1") == "1"
 CG = int(os.environ.get("NEV400_CG", 30))
 REFINE = int(os.environ.get("NEV400_REFINE", 2))
+MIXED = os.environ.get("NEV400_MIXED", "1") == "1"
 params = GCGParams(nev=400, block_size=BS, nev_max=NEVMAX, max_iter=MAXIT,
                    verbose=1,
-                   cg_max_iter=CG, fuse=FUSE, cg_mixed=True, cg_refine=REFINE,
-                   cg_auto_shift=SHIFT)
+                   cg_max_iter=CG, fuse=FUSE, cg_mixed=MIXED,
+                   cg_refine=REFINE, cg_auto_shift=SHIFT)
 t0 = time.perf_counter()
 res = gcg_solve(dia64, None, params)
 print(f"nev400 nx={NX} cold: {time.perf_counter()-t0:.1f}s "

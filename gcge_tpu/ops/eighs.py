@@ -25,6 +25,7 @@ for *precision* (and it stays inside fused device programs — no host sync).
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache, partial
 
 import jax
@@ -277,6 +278,10 @@ def _acc_matmul_sym(h, u):
 # (the refine trust cap + divergence guard + cluster-first ordering keep
 # the coarse warm start convergent) but not profitable.
 F32_WARM_MIN_M = 768
+# experiment override (huge-nev A/Bs): the f64 device eigh's compile cliff
+# sits near m~1000 on the axon runtime, so m=960 is testable either way
+if os.environ.get("GCGE_F32_WARM_MIN_M"):
+    F32_WARM_MIN_M = int(os.environ["GCGE_F32_WARM_MIN_M"])
 
 
 @partial(jax.jit, static_argnames=("iters", "cap", "nblk", "polish_sweeps",

@@ -68,7 +68,12 @@ def _onehot_mask(ids, shape, dim: int, mask_mode: str):
     ``ids`` is (J,); ``dim`` is the iota dimension the ids broadcast
     against (0 -> ids along columns, 1 -> ids along rows)."""
     if mask_mode == "bf16":
-        iota = jax.lax.broadcasted_iota(jnp.bfloat16, shape, dim)
+        # tpu.iota only produces integer vectors — build i32 and convert
+        # (the convert is loop-invariant across a grid step's pairs, so
+        # CSE pays it once; the compare + select then run at bf16 register
+        # density)
+        iota = jax.lax.broadcasted_iota(
+            jnp.int32, shape, dim).astype(jnp.bfloat16)
         idb = ids.astype(jnp.bfloat16)
         idb = idb[None, :] if dim == 0 else idb[:, None]
         return jnp.where(iota == idb, jnp.bfloat16(1), jnp.bfloat16(0))
@@ -189,6 +194,38 @@ def pack_onehot(rows, cols, vals, n, r_tile: int = 256, w_tile: int = 256,
     return t_ids, w_ids, rloc, cloc, pvals, pvals_lo, n_pad, stats
 
 
+_BF16_MASK_OK: list = []   # memoized capability probe result
+
+
+def _bf16_mask_supported() -> bool:
+    """One-time probe: can Mosaic lower a bf16 iota-compare-select?
+
+    The bf16 mask form relies on bf16 broadcasted_iota + eq + select all
+    lowering on the current backend; if any of them is rejected the probe
+    fails once (cheap tiny kernel) and every kernel silently falls back to
+    the proven f32 form rather than failing at production shapes."""
+    if _BF16_MASK_OK:
+        return _BF16_MASK_OK[0]
+    if jax.default_backend() != "tpu":
+        _BF16_MASK_OK.append(True)     # interpret mode: plain jnp semantics
+        return True
+    try:
+        from jax.experimental import pallas as pl
+
+        def k(ids_ref, o_ref):
+            o_ref[:] = _onehot_mask(ids_ref[0, :], (8, 128), 0, "bf16")
+
+        out = pl.pallas_call(
+            k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.bfloat16),
+        )(jnp.zeros((8, 128), jnp.int32).at[0, :].set(
+            jnp.arange(128, dtype=jnp.int32) % 8))
+        ok = bool(jnp.sum(out) == 128)
+        _BF16_MASK_OK.append(ok)
+    except Exception:
+        _BF16_MASK_OK.append(False)
+    return _BF16_MASK_OK[0]
+
+
 def _resolve_mask_mode(r_tile: int, w_tile: int) -> str:
     """Pick the one-hot construction form (see :func:`_onehot_mask`).
 
@@ -197,7 +234,9 @@ def _resolve_mask_mode(r_tile: int, w_tile: int) -> str:
     forced = os.environ.get("GCGE_ONEHOT_MASK", "")
     if forced in ("f32", "bf16"):
         return forced
-    return "bf16" if max(r_tile, w_tile) <= 256 else "f32"
+    if max(r_tile, w_tile) > 256:
+        return "f32"
+    return "bf16" if _bf16_mask_supported() else "f32"
 
 
 @functools.partial(jax.jit, static_argnames=(

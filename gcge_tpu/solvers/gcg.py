@@ -997,11 +997,18 @@ class _HotChunk:
         self.compiled = None
         self.error = None
         self._event = threading.Event()
+        # deferred start: compiles SERIALIZE on the axon tunnel, so
+        # submitting the (big) chunk compile immediately would queue it
+        # AHEAD of the phased iteration programs the solver needs to make
+        # progress — the solver calls go() once the first phased iteration
+        # has all its programs compiled
+        self._go = threading.Event()
         # test hook: delay the compile landing so CPU tests can force a
         # deterministic number of phased iterations before the swap
         self._delay = float(os.environ.get("GCGE_HOTSWAP_TEST_DELAY", "0"))
 
         def work():
+            self._go.wait()
             try:
                 if self._delay:
                     time.sleep(self._delay)
@@ -1017,6 +1024,10 @@ class _HotChunk:
         self._thread = threading.Thread(
             target=work, daemon=True, name="gcge-hotswap-compile")
         self._thread.start()
+
+    def go(self):
+        """Release the background compile (idempotent)."""
+        self._go.set()
 
     def ready(self) -> bool:
         return self._event.is_set() and self.compiled is not None
@@ -1474,7 +1485,15 @@ def _gcg_solve_impl(a_op, b_op, params, x0, key, mesh) -> GCGResult:
             stall = 0
 
         num_iter += 1
+        if hot is not None:
+            # release the background chunk compile only now: the first
+            # phased iteration has compiled every per-phase program, so the
+            # big AOT compile no longer queues ahead of them on the
+            # serialized remote-compile tunnel
+            hot.go()
 
+    if hot is not None:
+        hot.go()   # let the compile finish for future solves (idempotent)
     timers["total"] = time.perf_counter() - t_start
     if p.verbose:
         tt = max(timers["total"], 1e-12)

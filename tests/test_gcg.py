@@ -409,8 +409,10 @@ def test_fuse_hotswap_mid_solve(monkeypatch):
     np.testing.assert_allclose(res.eval[:6], laplacian_1d_eigs(n)[:6],
                                rtol=1e-7)
     # the background compile published its signature + executable (wait for
-    # the thread if the solve finished phased before the delay elapsed)
-    for _ in range(100):
+    # the thread if the solve finished phased before the delay elapsed —
+    # generous budget: a loaded CI host can stretch the small compile well
+    # past the 1 s test delay)
+    for _ in range(600):
         if len(G._CHUNK_READY) > n_ready0:
             break
         _time.sleep(0.1)
