@@ -376,7 +376,9 @@ def eigh_newton(h, iters: int = 4, theta: float | None = None, cap: int = 64,
     use_f32_warm = warm is None and (
         warm_dtype == "f32" or (warm_dtype == "auto" and m >= F32_WARM_MIN_M))
     if passes is None:
-        passes = 3 if use_f32_warm else 1
+        # GCGE_NEWTON_PASSES: experiment override (huge-nev RR-quality A/Bs)
+        passes = int(os.environ.get("GCGE_NEWTON_PASSES", "0")) or (
+            3 if use_f32_warm else 1)
     if warm is not None:
         w0, u = warm
     elif use_f32_warm:
