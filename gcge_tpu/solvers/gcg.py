@@ -181,11 +181,40 @@ class GCGParams:
     def resolved(self, n: int) -> "GCGParams":
         """Fill auto defaults following the reference test driver
         (``test_eig_sol_gcg.c:33-49``): bs = nev/5, nevMax = 2*nev,
-        nevInit = nevMax."""
+        nevInit = nevMax.
+
+        TPU exception (measured, round 5): past projected size m =
+        nevMax + 2*bs >= 768 the Rayleigh-Ritz auto path falls to the
+        f32-WARM Newton eigensolve (the f64 device eigh's remote compile
+        crashes near m~1000), and the f32 warm start's cluster mixing
+        STALLS convergence mid-spectrum (nev=400: frozen at 284/400;
+        factor-isolation matrix in PERFORMANCE.md) — while a 1.5x-slack
+        basis with the f64-warm RR converges the full count (407/400 in
+        39 iterations on the same operator).  So on TPU an AUTO nevMax is
+        clamped to keep m < 768; an explicit nev_max is honored with a
+        warning.  Huge-nev runs that genuinely need m >= 768 should use
+        the mesh path (``gcg_solve(..., mesh=...)``), whose sharded RR
+        has no f32-warm stage."""
         nev = self.nev
         bs = self.block_size or max(nev // 5, 1)
-        nev_max = self.nev_max or 2 * nev
+        auto_max = 2 * nev
+        if self.nev_max == 0 and auto_max + 2 * bs >= 768 \
+                and jax.default_backend() == "tpu":
+            clamped = max(nev + bs, (767 - 2 * bs) // 8 * 8)
+            if clamped < auto_max and self.verbose:
+                print(f"gcge_tpu: auto nevMax {auto_max} -> {clamped} on "
+                      f"TPU (projected m >= 768 would hit the f32-warm "
+                      f"RR stall; see GCGParams.resolved / PERFORMANCE.md)")
+            auto_max = min(auto_max, clamped)
+        nev_max = self.nev_max or auto_max
         nev_max = max(nev_max, nev + bs)
+        if self.nev_max and self.nev_max + 2 * bs >= 768 \
+                and jax.default_backend() == "tpu" and self.verbose:
+            print(f"gcge_tpu: WARNING nev_max={self.nev_max} gives "
+                  f"projected m={self.nev_max + 2 * bs} >= 768 — the "
+                  f"single-chip RR falls to the f32-warm path, measured "
+                  f"to stall huge-nev convergence; prefer the mesh path "
+                  f"or nev_max <= {768 - 2 * bs - 1}")
         nev_init = self.nev_init or nev_max
         nev_init = max(min(nev_init, nev_max), min(3 * bs, nev_max))
         assert nev_max + 2 * bs <= n, (

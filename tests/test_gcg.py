@@ -432,3 +432,26 @@ def test_fuse_hotswap_mid_solve(monkeypatch):
     assert res3.nev_conv >= 6
     np.testing.assert_allclose(res3.eval[:6], laplacian_1d_eigs(n)[:6],
                                rtol=1e-7)
+
+
+def test_auto_nevmax_tpu_clamp(monkeypatch):
+    """On TPU, an AUTO nev_max clamps to keep the projected size m < 768
+    (the f32-warm RR stall, PERFORMANCE.md round-5 factor isolation); an
+    explicit nev_max is honored."""
+    import jax as _jax
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    p = GCGParams(nev=400, verbose=0).resolved(100_000)
+    assert p.nev_max + 2 * p.block_size < 768, p.nev_max
+    assert p.nev_max >= p.nev + p.block_size
+    # explicit nev_max: honored verbatim
+    p2 = GCGParams(nev=400, nev_max=800, verbose=0).resolved(100_000)
+    assert p2.nev_max == 800
+    # off-TPU: the reference rule nevMax = 2*nev stands
+    monkeypatch.setattr(_jax, "default_backend", lambda: "cpu")
+    p3 = GCGParams(nev=400, verbose=0).resolved(100_000)
+    assert p3.nev_max == 800
+    # small nev: unaffected everywhere
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    p4 = GCGParams(nev=50, verbose=0).resolved(100_000)
+    assert p4.nev_max == 100
