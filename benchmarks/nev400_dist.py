@@ -43,6 +43,7 @@ from gcge_tpu.parallel import grid_mesh, row_mesh, shard_operator
 from gcge_tpu.solvers.gcg import GCGParams, gcg_solve
 
 NX = int(os.environ.get("NEV400D_NX", 24))
+NEV = int(os.environ.get("NEV400D_NEV", 400))
 MESH = os.environ.get("NEV400D_MESH", "grid")   # 'grid' (rows x cols) | 'rows'
 MAXIT = int(os.environ.get("NEV400D_MAXIT", 120))
 BS = int(os.environ.get("NEV400D_BS", 80))
@@ -59,12 +60,12 @@ a_op = shard_operator(
 print(f"n={n} devices={NDEV} mesh={MESH} bs={BS} nev_max={NEVMAX} "
       f"maxit={MAXIT} shift={SHIFT}", flush=True)
 
-params = GCGParams(nev=400, block_size=BS, nev_max=NEVMAX, max_iter=MAXIT,
+params = GCGParams(nev=NEV, block_size=BS, nev_max=NEVMAX, max_iter=MAXIT,
                    verbose=1, cg_max_iter=30, cg_auto_shift=SHIFT, fuse=0)
 t0 = time.perf_counter()
 res = gcg_solve(a_op, None, params, mesh=mesh)
 wall = time.perf_counter() - t0
-print(f"nev400-dist nx={NX} mesh={MESH}x{NDEV}: {wall:.1f}s "
+print(f"nev{NEV}-dist nx={NX} mesh={MESH}x{NDEV}: {wall:.1f}s "
       f"iters={res.num_iter} conv={res.nev_conv} "
       f"eval[:3]={np.asarray(res.eval[:3])}", flush=True)
 
