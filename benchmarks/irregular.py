@@ -139,6 +139,8 @@ def main():
     wall = time.perf_counter() - t0
     print(f"IRREGULAR nev={NEV}: wall={wall:.1f}s iters={res.num_iter} "
           f"conv={res.nev_conv}", flush=True)
+    if os.environ.get("IRREG_ONESHOT", "0") == "1":
+        return
     t0 = time.perf_counter()
     res = gcg_solve(op, None, params)
     wall = time.perf_counter() - t0
